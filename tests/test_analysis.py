@@ -1,0 +1,164 @@
+"""Unit tests: tokenizer parity, stopwords, number-trie goldens.
+
+Golden vectors ported from the reference's own tests
+(test/unit/test-query-ir.ts:11-182, test/system/test-index.ts:303-307).
+"""
+
+import re
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from yaii_ray.analysis import terms as T
+from yaii_ray.analysis.tokenizer import (
+    SEPARATOR_PATTERN,
+    STOPWORDS,
+    keyword_tokens,
+    tokenize_string,
+    tokenize_strings,
+)
+
+MAX_SAFE = 2**53 - 1
+MIN_SAFE = -(2**53 - 1)
+
+
+class TestTokenizer:
+    def test_basic(self):
+        assert tokenize_string("Hello, World-x") == ["hello", "world", "x"]
+
+    def test_js_split_edge_semantics(self):
+        # JS "-a".split(regex) -> ["", "a"]; trailing separators too
+        assert tokenize_string("-a") == ["", "a"]
+        assert tokenize_string("a-") == ["a", ""]
+        assert tokenize_string("") == [""]
+        assert tokenize_string("   ") == [""]
+
+    def test_separator_class(self):
+        assert tokenize_string("a b-c,d;e:f.g") == list("abcdefg")
+
+    def test_stopwords(self):
+        assert tokenize_string("ufg about test", stopwords=True) == ["ufg", "test"]
+        assert "" in STOPWORDS and len(STOPWORDS) == 120  # 119 words + ""
+
+    @given(st.lists(st.text(alphabet="ab -,;:.xyzABC", max_size=20), max_size=10))
+    @settings(deadline=None)  # first Arrow kernel invocation is slow
+    def test_vectorized_matches_scalar(self, texts):
+        arr = pa.array(texts, type=pa.string())
+        for stop in (False, True):
+            vec = tokenize_strings(arr, stopwords=stop).to_pylist()
+            ref = [tokenize_string(t, stopwords=stop) for t in texts]
+            assert vec == ref
+
+    def test_vectorized_nulls(self):
+        arr = pa.array(["a b", None, "c"], type=pa.string())
+        assert tokenize_strings(arr).to_pylist() == [["a", "b"], [""], ["c"]]
+
+    def test_keyword(self):
+        arr = pa.array(["x", None, "Y z"], type=pa.string())
+        assert keyword_tokens(arr).to_pylist() == [["x"], [], ["Y z"]]
+
+    def test_pattern_matches_python_re(self):
+        r = re.compile(SEPARATOR_PATTERN)
+        assert r.split("a\tb\nc") == ["a", "b", "c"]
+
+
+class TestNumberTrie:
+    """Goldens from reference test/unit/test-query-ir.ts."""
+
+    def test_max_safe_integer(self):
+        assert T.number_to_terms(MAX_SAFE) == [
+            "1z", "9z", "8zz", "7zzz", "6zzzz", "5zzzzz", "4zzzzzz",
+            "3zzzzzzz", "2zzzzzzzz",
+        ]
+
+    def test_min_safe_integer(self):
+        assert T.number_to_terms(MIN_SAFE) == [
+            "1/", "9+", "8++", "7+++", "6++++", "5+++++", "4++++++",
+            "3+++++++", "2++++++++",
+        ]
+
+    def test_zero_one_minus_one(self):
+        assert T.number_to_terms(0) == [
+            "1+", "9U", "8U+", "7U++", "6U+++", "5U++++", "4U+++++",
+            "3U++++++", "2U+++++++",
+        ]
+        assert T.number_to_terms(1)[0] == "1/"
+        assert T.number_to_terms(1)[1:] == T.number_to_terms(0)[1:]
+        assert T.number_to_terms(-1) == [
+            "1z", "9T", "8Tz", "7Tzz", "6Tzzz", "5Tzzzz", "4Tzzzzz",
+            "3Tzzzzzz", "2Tzzzzzzz",
+        ]
+
+    def test_powers_of_64(self):
+        assert T.number_to_terms(1 << 6)[8] == "2U++++++/"
+        assert T.number_to_terms(1 << 12)[7:] == ["3U+++++/", "2U+++++/+"]
+        assert T.number_to_terms(1 << 18)[6] == "4U++++/"
+        assert T.number_to_terms(2 ** 24)[5] == "5U+++/"
+        assert T.number_to_terms(2 ** 30)[4] == "6U++/"
+        assert T.number_to_terms(2 ** 36)[3] == "7U+/"
+        assert T.number_to_terms(2 ** 42)[2] == "8U/"
+
+    def test_floats_floored(self):
+        assert T.number_to_terms(25.7) == T.number_to_terms(25)
+
+    def test_digit_alphabet_is_ascii_increasing(self):
+        d = T.ENCODING_DIGITS
+        assert all(d[i] < d[i + 1] for i in range(len(d) - 1))
+
+    @given(st.integers(min_value=MIN_SAFE, max_value=MAX_SAFE))
+    def test_l8_order_matches_numeric_order(self, v):
+        # lexicographic order of L8 terms == numeric order
+        t1 = T.number_to_terms(v)[8]
+        t2 = T.number_to_terms(min(v + 1, MAX_SAFE))[8]
+        assert t1 <= t2
+
+    def test_equality_terms(self):
+        l0, full = T.number_equality_terms(20)
+        # reference uses numberToTerms(v)[0] ('1'+digit) and [8]
+        # ('2'+8 digits) — query-ir.ts:177-189
+        assert l0.startswith("1") and full.startswith("2") and len(full) == 9
+
+
+class TestNumberRangePlan:
+    def _matches(self, v, plan):
+        scan, lo_edge, hi_edge = plan
+        terms = T.number_to_terms(v)
+        l0, l8 = terms[0], terms[8]
+        if scan is not None and scan[0] <= l8 < scan[1]:
+            return True
+        for edge in (lo_edge, hi_edge):
+            if edge is not None and edge[0] == l8 and l0 in edge[1]:
+                return True
+        return False
+
+    @given(
+        st.integers(min_value=-300, max_value=300),
+        st.integers(min_value=-300, max_value=300),
+        st.booleans(),
+        st.booleans(),
+        st.integers(min_value=-310, max_value=310),
+    )
+    def test_plan_semantics(self, lo, hi, lo_inc, hi_inc, v):
+        plan = T.number_range_plan(lo, hi, lo_inc, hi_inc)
+        expected = (lo < v or (lo_inc and v == lo)) and (v < hi or (hi_inc and v == hi))
+        assert self._matches(v, plan) == expected
+
+    def test_open_ended(self):
+        plan = T.number_range_plan(30, float("inf"), True, True)
+        assert self._matches(10_000_000, plan)
+        assert self._matches(30, plan)
+        assert not self._matches(29, plan)
+
+
+class TestTermRoundtrip:
+    def test_string(self):
+        assert T.term_to_token(T.string_to_term("abc")) == "abc"
+
+    def test_bool(self):
+        assert T.term_to_token(T.bool_to_term(True)) is True
+        assert T.term_to_token(T.bool_to_term(False)) is False
+
+    def test_number_prefix_rejected(self):
+        with pytest.raises(NotImplementedError):
+            T.term_to_token("1z")

@@ -1,0 +1,125 @@
+"""Text analyzers — behavior-parity with the reference's analyzer chain.
+
+Reference behaviors reproduced (observable semantics, not code):
+- standard tokenizer: ``trim().toLowerCase().split(/[\\s\\-,;:.]+/)``
+  (reference ``src/lib/analyzer/standard-tokenizer.ts:4-21``). Note the
+  JS split keeps empty strings produced at the edges (e.g. ``"-a"`` →
+  ``["", "a"]``); so do we.
+- stopword filter: drops the reference's hard-coded English stopword
+  list *including the empty string* (reference
+  ``src/lib/analyzer/stopwords-filter.ts:4-138``). The word list below
+  is copied verbatim because it is observable behavior
+  (``test/system/test-index.ts:303-307`` relies on "about" being
+  dropped from the ``_all`` field).
+
+All hot-path entry points are vectorized over Arrow arrays
+(``pyarrow.compute`` kernels); the scalar versions exist for tests and
+for the exact-BM25 oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Same separator class as the reference tokenizer.
+SEPARATOR_PATTERN = r"[\s\-,;:.]+"
+_SEPARATOR_RE = re.compile(SEPARATOR_PATTERN)
+
+# Verbatim from reference src/lib/analyzer/stopwords-filter.ts:4-125
+# (119 words + the empty string). Observable behavior — do not edit.
+STOPWORDS = frozenset(
+    [
+        "", "a", "able", "about", "across", "after", "all", "almost",
+        "also", "am", "among", "an", "and", "any", "are", "as", "at",
+        "be", "because", "been", "but", "by", "can", "cannot", "could",
+        "dear", "did", "do", "does", "either", "else", "ever", "every",
+        "for", "from", "get", "got", "had", "has", "have", "he", "her",
+        "hers", "him", "his", "how", "however", "i", "if", "in", "into",
+        "is", "it", "its", "just", "least", "let", "like", "likely",
+        "may", "me", "might", "most", "must", "my", "neither", "no",
+        "nor", "not", "of", "off", "often", "on", "only", "or", "other",
+        "our", "own", "rather", "said", "say", "says", "she", "should",
+        "since", "so", "some", "than", "that", "the", "their", "them",
+        "then", "there", "these", "they", "this", "tis", "to", "too",
+        "twas", "us", "wants", "was", "we", "were", "what", "when",
+        "where", "which", "while", "who", "whom", "why", "will", "with",
+        "would", "yet", "you", "your",
+    ]
+)
+
+
+def tokenize_string(text: str, stopwords: bool = False) -> list[str]:
+    """Scalar standard tokenizer (oracle / test path).
+
+    Matches the reference byte-for-byte: trim, lowercase, regex split.
+    With ``stopwords=True`` also applies the stopword filter (this is
+    the analyzer of the ``_all`` field and of BM25 ``text`` fields).
+    """
+    toks = _SEPARATOR_RE.split(text.strip().lower())
+    if stopwords:
+        toks = [t for t in toks if t not in STOPWORDS]
+    return toks
+
+
+def tokenize_strings(
+    arr: pa.Array | pa.ChunkedArray, stopwords: bool = False
+) -> pa.ListArray:
+    """Vectorized standard tokenizer: string array → list<string> array.
+
+    Pure Arrow kernels — zero-copy in, one allocation out. Nulls map to
+    empty token lists.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    filled = pc.fill_null(arr, "")
+    lowered = pc.utf8_lower(pc.utf8_trim_whitespace(filled))
+    tokens = pc.split_pattern_regex(lowered, SEPARATOR_PATTERN)
+    if stopwords:
+        flat = tokens.flatten()
+        keep = pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS))))
+        # Rebuild the list array with the filtered flat values: compute
+        # new offsets as the cumulative count of kept tokens per row.
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        kept_cum = np.concatenate([[0], np.cumsum(keep_np)])
+        new_offsets = kept_cum[offsets - offsets[0]]
+        new_flat = flat.filter(keep)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), new_flat
+        )
+    return tokens
+
+
+def keyword_tokens(arr: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Keyword analyzer: whole value = single token; nulls → no token."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(valid)]).astype(np.int32)
+    flat = arr.drop_null()
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+
+
+AnalyzerFn = Callable[[pa.Array], pa.ListArray]
+
+_REGISTRY: dict[str, AnalyzerFn] = {
+    "standard": lambda a: tokenize_strings(a, stopwords=False),
+    "standard_stop": lambda a: tokenize_strings(a, stopwords=True),
+    "keyword": keyword_tokens,
+}
+
+
+def register_analyzer(name: str, fn: AnalyzerFn) -> None:
+    """User-extension surface (reference ``src/lib/api/config.ts:27``):
+    a custom analyzer is a callable string-array → list<string>-array,
+    applied inside the tokenize ``map_batches`` stage."""
+    _REGISTRY[name] = fn
+
+
+def get_analyzer(name: str) -> AnalyzerFn:
+    return _REGISTRY[name]

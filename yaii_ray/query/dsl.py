@@ -1,0 +1,113 @@
+"""Public query DSL — same constructor surface as the reference.
+
+Reference: ``src/lib/api/query-dsl.ts:14-84`` exposes
+``token / all / number / present / numberRange / and / or / not``.
+Python keywords force the ``*_query`` suffix on ``all/and/or/not``.
+Queries are immutable dataclasses; the planner (``query.ir``) turns
+them into an expression tree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class All(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Token(Query):
+    value: str | bool | tuple
+    field: str | None = None  # None -> _all
+
+
+@dataclass(frozen=True)
+class Number(Query):
+    value: float
+    field: str | None = None
+
+
+@dataclass(frozen=True)
+class NumberRange(Query):
+    field: str
+    min: float = float("-inf")
+    max: float = float("inf")
+    min_inclusive: bool = True
+    max_inclusive: bool = False
+
+
+@dataclass(frozen=True)
+class Present(Query):
+    field: str
+
+
+@dataclass(frozen=True)
+class And(Query):
+    operands: tuple
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    operands: tuple
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    operand: Query
+
+
+def token(value, field: str | None = None) -> Token:
+    if isinstance(value, list):
+        value = tuple(value)
+    return Token(value=value, field=field)
+
+
+def all_query() -> All:
+    return All()
+
+
+def number(value: float, field: str | None = None) -> Number:
+    return Number(value=value, field=field)
+
+
+def number_range(
+    field: str,
+    min: float = float("-inf"),
+    max: float = float("inf"),
+    min_inclusive: bool = True,
+    max_inclusive: bool = False,
+) -> NumberRange:
+    return NumberRange(field, min, max, min_inclusive, max_inclusive)
+
+
+def present(field: str) -> Present:
+    return Present(field)
+
+
+def and_query(*operands: Query) -> And:
+    return And(tuple(operands))
+
+
+def or_query(*operands: Query) -> Or:
+    return Or(tuple(operands))
+
+
+def not_query(operand: Query) -> Not:
+    return Not(operand)
+
+
+# Sorting ------------------------------------------------------------
+ASC = "asc"
+DESC = "desc"
+
+
+@dataclass(frozen=True)
+class SortClause:
+    field: str
+    dir: str = ASC
