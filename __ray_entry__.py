@@ -3,42 +3,285 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
+
+Implementation notes:
+- Index-backed queries build (once, cached under /tmp keyed by sf_dir
+  + config fingerprint) a full inverted index over the ``documents``
+  table, then answer from the shard actor pool — they exercise the
+  whole engine: tokenize → term shuffle → delta+VByte postings →
+  actors → WAND / boolean algebra.
+- SQL oracles recompute everything from first principles in DuckDB
+  (regexp tokenizer identical to the engine's analyzer, BM25 formula
+  spelled out in SQL). Floating-point outputs are rounded identically
+  on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+_INDEX_CACHE: dict[str, Any] = {}
+
+# SQL fragment: the engine's tokenizer + stopword filter, verbatim
+# (yaii_ray.analysis.tokenizer — reference standard-tokenizer.ts:4-21 +
+# stopwords-filter.ts:4-138)
+_TOKENIZE = "regexp_split_to_array(lower(trim(text)), '[\\s\\-,;:.]+')"
+
+
+def _stoplist_sql() -> str:
+    from yaii_ray.analysis.tokenizer import STOPWORDS
+
+    return ", ".join("'" + w + "'" for w in sorted(STOPWORDS))
+
+
+def _docs_index(sf_dir: str):
+    """Build-once documents index for ``sf_dir``; returns an Index."""
+    from yaii_ray.build import build_index
+    from yaii_ray.config import documents_config
+    from yaii_ray.engine import Index
+
+    cfg = documents_config(num_shards=4)
+    key = os.path.normpath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = key.strip("/").replace("/", "_")
+    out = f"/tmp/yaii_idx_cache/documents_{tag}_{cfg.fingerprint()}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg)
+    idx = Index(out)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _ids_table(doc_ids: np.ndarray) -> pa.Table:
+    return pa.table({"doc_id": pa.array(doc_ids.astype(np.int64), type=pa.int64())})
+
+
+# ---------------------------------------------------------------------
+# Ray-side query implementations
+# ---------------------------------------------------------------------
+
+
+def _q_term_df_top50(sf_dir: str) -> pa.Table:
+    """Top-50 document-frequency terms of documents.text — verifies the
+    full posting build (tokenize → shuffle → merge → termstats)."""
+    import pyarrow.dataset as pa_ds
+
+    from yaii_ray.stages.termize import KEY_SEP
+
+    idx = _docs_index(sf_dir)
+    lo, hi = "text" + KEY_SEP + "0", "text" + KEY_SEP + "1"
+    t = pa_ds.dataset(idx.manifest["termstats_dir"]).to_table(
+        filter=(pa_ds.field("key") >= lo) & (pa_ds.field("key") < hi)
+    )
+    keys = t["key"].to_pylist()
+    df = t["sum(df)"].to_pylist()
+    terms = [k.split(KEY_SEP, 1)[1][1:] for k in keys]
+    out = pa.table(
+        {"term": pa.array(terms, type=pa.string()), "df": pa.array(df, type=pa.int64())}
+    )
+    return out.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 50)
+
+
+def _q_bm25_top10(sf_dir: str) -> pa.Table:
+    idx = _docs_index(sf_dir)
+    t = idx.search("merge batch window sort", field="text", k=10)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "score_r": pc.round(t["score"], 6),
+        }
+    )
+
+
+def _q_bool_and(sf_dir: str) -> pa.Table:
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    ids = idx.resolve(dsl.and_query(dsl.token("merge", "text"), dsl.token("window", "text")))
+    return _ids_table(ids)
+
+
+def _q_bool_or_not(sf_dir: str) -> pa.Table:
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    ids = idx.resolve(
+        dsl.and_query(
+            dsl.or_query(dsl.token("sort", "text"), dsl.token("window", "text")),
+            dsl.not_query(dsl.token("merge", "text")),
+        )
+    )
+    return _ids_table(ids)
+
+
+def _q_number_range(sf_dir: str) -> pa.Table:
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    ids = idx.resolve(dsl.number_range("n_chars", min=200, max=400))
+    return _ids_table(ids)
+
+
+def _q_keyword_filter_count(sf_dir: str) -> pa.Table:
+    """Boolean keyword query + COUNT aggregation (G1)."""
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    n = idx.count(dsl.token("en", "lang"))
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+def _q_lineitem_group_agg(sf_dir: str) -> Any:
+    """Partial-aggregation groupby over lineitem (G4 / pre-agg at scale)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n"),
+    )
+    t = out.to_pandas()
+    t["sum_qty"] = t["sum_qty"].round(2)
+    t["sum_price"] = t["sum_price"].round(2)
+    return t
+
+
+def _q_events_sort_limit(sf_dir: str) -> Any:
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    t = out.to_pandas()
+    t["value"] = t["value"].round(6)
+    return t
+
+
+def _q_events_window_hourly(sf_dir: str) -> Any:
+    """Tumbling-window aggregate over the event stream (streaming-shaped
+    workload on a batch engine — ray_guide 'Streaming-shaped')."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return b.append_column("hour", pc.cast(hour, pa.int64())).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = out.to_pandas()
+    t["sum_value"] = t["sum_value"].round(6)
+    return t
+
+
+_QUERIES: dict[str, Callable[[str], Any]] = {
+    "term_df_top50": _q_term_df_top50,
+    "bm25_top10": _q_bm25_top10,
+    "bool_and": _q_bool_and,
+    "bool_or_not": _q_bool_or_not,
+    "number_range": _q_number_range,
+    "keyword_filter_count": _q_keyword_filter_count,
+    "lineitem_group_agg": _q_lineitem_group_agg,
+    "events_sort_limit": _q_events_sort_limit,
+    "events_window_hourly": _q_events_window_hourly,
+}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _stoplist_sql()
+    tok_cte = f"""
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST({_TOKENIZE}) AS t(term)
+      WHERE t.term NOT IN ({stop})
+    )"""
+    bm25 = f"""{tok_cte},
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['merge','batch','window','sort']) AS term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+    dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scores AS (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfv.df + 0.5)/(dfv.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+      FROM tf
+      JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score_r
+    FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+    return {
+        "term_df_top50": f"""{tok_cte}
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+        "bm25_top10": bm25,
+        "bool_and": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOKENIZE}, 'merge')
+              AND list_contains({_TOKENIZE}, 'window')
+            ORDER BY doc_id""",
+        "bool_or_not": f"""
+            SELECT doc_id FROM documents
+            WHERE (list_contains({_TOKENIZE}, 'sort')
+                   OR list_contains({_TOKENIZE}, 'window'))
+              AND NOT list_contains({_TOKENIZE}, 'merge')
+            ORDER BY doc_id""",
+        "number_range": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id""",
+        "keyword_filter_count": "SELECT count(*) AS n FROM documents WHERE lang = 'en'",
+        "lineitem_group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "events_sort_limit": """
+            SELECT event_id, round(value, 6) AS value FROM events
+            ORDER BY events.value DESC, event_id LIMIT 100""",
+        "events_window_hourly": """
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY user_id, hour""",
+    }
+
+
+def entry() -> Any:
+    """Flagship pipeline on /root/testdata/sf0.001: full index build over
+    the documents table (tokenize → term-keyed shuffle → delta+VByte
+    postings → shard actors) + a BM25 top-10 query."""
+    return _q_bm25_top10("/root/testdata/sf0.001")

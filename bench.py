@@ -1,0 +1,161 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Pipelines timed (the north-rule workload, SURVEY.md §6):
+  1. ``build``   — full inverted-index build over the deterministic
+                   synthetic transcript corpus (BENCH_TURNS turns):
+                   read → tokenize/termize → term-keyed salted shuffle
+                   → delta+VByte merge + block-max → manifest + stats.
+  2. ``bm25``    — p50 latency of BM25 top-10 queries (shard actor
+                   pool, block-max WAND) over that index.
+  3. sf queries  — a subset of the __ray_entry__ pipelines over
+                   $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env: RAY_GRAFT_CPUS (default 32) — fresh ``ray.init(num_cpus=...)``;
+GRAFT_SF_DIR; BENCH_TURNS (default 500000).
+
+``--scaling`` re-runs the same input in fresh processes at 8 and 32
+CPUs and reports throughput at both + scaling efficiency — the sandbox
+stand-in for the N vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["build_turns_per_sec"]
+    tput_hi = r_hi["build_turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build scaling efficiency (8 -> 32 CPUs, same input)",
+                "build_sec_8": r_lo["queries"]["build"],
+                "build_sec_32": r_hi["queries"]["build"],
+                "turns_per_sec_8": tput_lo,
+                "turns_per_sec_32": tput_hi,
+                "scaling_efficiency": round(eff, 3),
+                "bm25_p50_ms_32": r_hi["bm25_p50_ms"],
+                "turns": r_hi["turns"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_turns = int(os.environ.get("BENCH_TURNS", "500000"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from yaii_ray.build import build_index
+    from yaii_ray.config import transcripts_config
+    from yaii_ray.corpus import build_vocab, transcripts_path
+    from yaii_ray.engine import Index
+
+    timings: dict[str, float] = {}
+
+    # untimed: corpus generation (cached) + page-cache warm read
+    src = transcripts_path(n_turns)
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(src, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    # 1. index build (fresh — delete any previous output first)
+    idx_dir = f"/tmp/yaii_bench_idx_c{ncpu}_n{n_turns}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = transcripts_config(num_shards=min(ncpu, 16))
+    cfg.chunk_shift = 16
+    t0 = time.monotonic()
+    build_index(src, idx_dir, cfg, target_unit_rows=65_536)
+    timings["build"] = round(time.monotonic() - t0, 3)
+
+    # 2. BM25 top-10 latency (p50 over a fixed query mix)
+    idx = Index(idx_dir)
+    idx.warmup()
+    vocab = build_vocab()
+    queries = []
+    for i in range(40):
+        a = vocab[(137 + i * 61) % 2000]
+        b_ = vocab[(411 + i * 97) % 6000]
+        c = vocab[(911 + i * 13) % 300]
+        queries.append(f"{a} {b_} {c}" if i % 2 else f"{a} {b_}")
+    lat = []
+    for q in queries:
+        t0 = time.monotonic()
+        idx.search(q, field="text", k=10)
+        lat.append(time.monotonic() - t0)
+    timings["bm25_total"] = round(sum(lat), 3)
+    p50_ms = round(1000 * statistics.median(lat), 2)
+    idx.close()
+
+    # 3. sf-dir pipelines (driver-contract subset)
+    import __ray_entry__ as entrymod
+
+    for name in ("term_df_top50", "bm25_top10", "lineitem_group_agg", "events_window_hourly"):
+        t0 = time.monotonic()
+        out = entrymod.queries()[name](sf_dir)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "transcript index build + BM25 p50 + sf pipelines",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "num_cpus": ncpu,
+                "turns": n_turns,
+                "build_turns_per_sec": round(n_turns / timings["build"], 1),
+                "bm25_p50_ms": p50_ms,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

@@ -1,0 +1,212 @@
+"""End-to-end: build over the synthetic transcript corpus, then verify
+boolean retrieval, BM25 parity against the brute-force oracle, text
+round-trip under stable (conv_id, turn_idx) order, and resume."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yaii_ray import corpus
+from yaii_ray.build import build_index, load_manifest
+from yaii_ray.config import transcripts_config
+from yaii_ray.engine import Index
+from yaii_ray.oracle import BruteForceBM25
+from yaii_ray.query import dsl
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    src = corpus.transcripts_path(N_TURNS, base="/tmp/yaii_corpus_test", row_group_size=500)
+    out = str(tmp_path_factory.mktemp("idx") / "transcripts")
+    cfg = transcripts_config(num_shards=4)
+    cfg.chunk_shift = 9  # 512-doc chunks -> exercises salting/chunking
+    build_index(src, out, cfg, target_unit_rows=700)
+    idx = Index(out)
+    idx.warmup()
+    full = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+    )
+    yield idx, full
+    idx.close()
+
+
+def test_docs_roundtrip_stable_order(built):
+    """Per-turn text equality under stable (conv_id, turn_idx) order —
+    the driver input_hint's per-row invariant."""
+    idx, src = built
+    docs_files = [p for s in idx.manifest["segments"] for p in s["docs_files"]]
+    rebuilt = pa.concat_tables(pq.read_table(f) for f in docs_files)
+    rebuilt = rebuilt.sort_by("doc_id")
+    assert rebuilt.num_rows == src.num_rows
+    assert rebuilt["text"].to_pylist() == src["text"].to_pylist()
+    assert rebuilt["conv_id"].to_pylist() == src["conv_id"].to_pylist()
+    assert rebuilt["turn_idx"].to_pylist() == src["turn_idx"].to_pylist()
+    # doc ids are dense 0..N-1 in (conv_id, turn_idx) order
+    assert rebuilt["doc_id"].to_pylist() == list(range(src.num_rows))
+
+
+def test_boolean_retrieval_matches_scan(built):
+    idx, src = built
+    texts = src["text"].to_pylist()
+    from yaii_ray.analysis.tokenizer import tokenize_string
+
+    tok_sets = [set(tokenize_string(t, stopwords=True)) for t in texts]
+    # pick a mid-frequency and a rare term from the corpus
+    from collections import Counter
+
+    df = Counter(t for s in tok_sets for t in s)
+    mid = next(t for t, c in df.most_common() if c < len(texts) // 3)
+    rare = min(df, key=lambda t: (df[t], t))
+
+    got = idx.resolve(dsl.token(mid, "text"))
+    want = np.array([i for i, s in enumerate(tok_sets) if mid in s], dtype=np.uint64)
+    assert (got == want).all()
+
+    got = idx.resolve(dsl.and_query(dsl.token(mid, "text"), dsl.token(rare, "text")))
+    want = [i for i, s in enumerate(tok_sets) if mid in s and rare in s]
+    assert got.tolist() == want
+
+    got = idx.resolve(
+        dsl.and_query(
+            dsl.token(mid, "text"), dsl.not_query(dsl.token(rare, "text"))
+        )
+    )
+    want = [i for i, s in enumerate(tok_sets) if mid in s and rare not in s]
+    assert got.tolist() == want
+
+    got = idx.resolve(dsl.or_query(dsl.token(mid, "text"), dsl.token(rare, "text")))
+    want = [i for i, s in enumerate(tok_sets) if mid in s or rare in s]
+    assert got.tolist() == want
+
+
+def test_keyword_and_presence(built):
+    idx, src = built
+    roles = src["role"].to_pylist()
+    got = idx.resolve(dsl.token("assistant", "role"))
+    want = [i for i, r in enumerate(roles) if r == "assistant"]
+    assert got.tolist() == want
+
+    tools = src["tool"].to_pylist()
+    got = idx.resolve(dsl.present("tool"))
+    want = [i for i, t in enumerate(tools) if t is not None]
+    assert got.tolist() == want
+
+
+def test_number_queries(built):
+    idx, src = built
+    turn = src["turn_idx"].to_pylist()
+    got = idx.resolve(dsl.number(3, "turn_idx"))
+    want = [i for i, v in enumerate(turn) if v == 3]
+    assert got.tolist() == want
+
+    got = idx.resolve(dsl.number_range("turn_idx", min=2, max=5))
+    want = [i for i, v in enumerate(turn) if 2 <= v < 5]
+    assert got.tolist() == want
+
+
+def test_bm25_rank_and_score_identical_to_oracle(built):
+    idx, src = built
+    oracle = BruteForceBM25(
+        src, "text", np.arange(src.num_rows, dtype=np.uint64), idx.config
+    )
+    # engine stats must equal oracle stats
+    dc, avgdl = idx.field_stats("text")
+    assert dc == oracle.doc_count
+    assert avgdl == oracle.avgdl
+
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    hot, mid, rare = vocab[0], vocab[len(vocab) // 3], vocab[-1]
+    queries = [
+        hot,
+        mid,
+        rare,
+        f"{hot} {mid}",
+        f"{hot} {rare} {mid}",
+        f"{mid} the and of {rare}",   # stopwords must drop out
+        "zzz-no-such-term",
+        f"{mid} {mid} {hot}",          # duplicate query terms collapse
+        # several similar-df terms: the window bound must SUM per-term
+        # maxima (regression for the max-vs-sum window-bound bug)
+        " ".join(vocab[10:14]),
+        " ".join(vocab[2:7]),
+    ]
+    for q in queries:
+        for k in (1, 10, 50):
+            got_d, got_s = None, None
+            t = idx.search(q, field="text", k=k)
+            got_d = np.asarray(t["doc_id"].to_numpy(), dtype=np.uint64)
+            got_s = t["score"].to_numpy()
+            want_d, want_s = oracle.search(q, k=k)
+            assert got_d.tolist() == want_d.tolist(), f"docs differ for {q!r} k={k}"
+            # bitwise-identical float64 scores
+            assert got_s.tolist() == want_s.tolist(), f"scores differ for {q!r} k={k}"
+
+
+def test_filtered_bm25(built):
+    idx, src = built
+    oracle = BruteForceBM25(
+        src, "text", np.arange(src.num_rows, dtype=np.uint64), idx.config
+    )
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    q = f"{vocab[0]} {vocab[5]}"
+    t = idx.search(q, field="text", k=20, filter=dsl.token("user", "role"))
+    roles = src["role"].to_pylist()
+    allowed = {i for i, r in enumerate(roles) if r == "user"}
+    full_d, full_s = oracle.search(q, k=src.num_rows)
+    keep = [i for i, d in enumerate(full_d) if int(d) in allowed][:20]
+    assert t["doc_id"].to_pylist() == [int(full_d[i]) for i in keep]
+    assert t["score"].to_pylist() == [float(full_s[i]) for i in keep]
+
+
+def test_sorted_query_and_projection(built):
+    idx, src = built
+    t = idx.query(
+        dsl.token("user", "role"),
+        sort=[dsl.SortClause("ts", dsl.DESC)],
+        limit=5,
+        columns=["conv_id", "turn_idx", "ts"],
+    )
+    roles = src["role"].to_pylist()
+    ts = src["ts"].to_pylist()
+    want = sorted(
+        (i for i, r in enumerate(roles) if r == "user"),
+        key=lambda i: ts[i],
+        reverse=True,
+    )[:5]
+    assert t["doc_id"].to_pylist() == want
+
+
+def test_resume_skips_completed_segments(ray_session, tmp_path):
+    src = corpus.transcripts_path(N_TURNS, base="/tmp/yaii_corpus_test", row_group_size=500)
+    out = str(tmp_path / "idx2")
+    cfg = transcripts_config(num_shards=2)
+    m1: dict = {}
+    build_index(src, out, cfg, target_unit_rows=1000, units_per_segment=2, metrics=m1)
+    manifest1 = load_manifest(out)
+    assert len(manifest1["segments"]) >= 2
+    assert all(not s.get("skipped") for s in m1["segments"])
+
+    # delete the LAST segment's manifest -> only it rebuilds
+    segs = sorted(
+        f for f in os.listdir(out) if f.endswith(".manifest.json")
+    )
+    os.remove(os.path.join(out, segs[-1]))
+    m2: dict = {}
+    build_index(src, out, cfg, target_unit_rows=1000, units_per_segment=2, metrics=m2)
+    skipped = [s for s in m2["segments"] if s.get("skipped")]
+    assert len(skipped) == len(segs) - 1
+    manifest2 = load_manifest(out)
+    assert manifest1["stats"] == manifest2["stats"]
+    assert [s["postings"] for s in manifest1["segments"]] == [
+        s["postings"] for s in manifest2["segments"]
+    ]

@@ -1,0 +1,229 @@
+"""Index build orchestration — the Ray-Data-native ``add()`` + ``commit()``.
+
+Pipeline (SURVEY.md §3.1 "Ray shape", §7 step 2-4, 8):
+
+    unit plan (parquet footers only, deterministic)
+      → segments of units (checkpoint/resume granularity)
+      → per segment:
+          from_items(units)
+            .map_batches(BuildPartials)     # read, doc-ids, tokenize,
+                                            # docs-part write, partial
+                                            # postings (salted)
+            .groupby(["shard","bucket"])    # THE term-keyed shuffle
+            .map_groups(MergeBucket)        # vectorized merge + write
+          → segment manifest json (atomic)  # resume = skip segment
+      → global stats (N, doc_count/sum_dl per scored field) from the
+        docs table's dl_* columns — a single pruned-column Ray pass
+      → term stats (global df per key) from the postings' (key, df)
+        columns — pruned-column read + native groupby sum
+      → manifest.json
+
+Layout (all paths relative to ``index_dir``)::
+
+    manifest.json                     # config, stats, file inventory
+    seg-000.manifest.json             # per-segment checkpoint
+    docs/seg-000/part-u000000.parquet # doc_id + stored cols + dl_*
+    postings/seg-000/shard=S/bucket-B.parquet
+    termstats/                        # (key, df) global df per term
+
+The reference persists one LevelDB per segment with postings keyed
+``field\\x1eterm`` (``immutable-segment.ts:98-309``); this layout is the
+same logical content as partitioned Parquet: doc-range shards of
+key-sorted posting rows + the docs table as Parquet row groups.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from yaii_ray.config import IndexConfig
+from yaii_ray.stages.merge import MergeBucket
+from yaii_ray.stages.partials import BuildPartials, plan_units
+
+
+def _input_files(path_or_paths) -> list[str]:
+    if isinstance(path_or_paths, str):
+        if os.path.isdir(path_or_paths):
+            files = sorted(glob.glob(os.path.join(path_or_paths, "*.parquet")))
+        else:
+            files = [path_or_paths]
+    else:
+        files = sorted(path_or_paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs at {path_or_paths}")
+    return files
+
+
+def _atomic_json(obj: dict, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def build_index(
+    input_path,
+    index_dir: str,
+    config: IndexConfig,
+    *,
+    target_unit_rows: int = 262_144,
+    units_per_segment: int = 256,
+    num_buckets: int | None = None,
+    metrics: dict | None = None,
+) -> str:
+    """Build (or resume building) an index. Returns ``index_dir``.
+
+    Resume semantics: a segment whose ``seg-*.manifest.json`` exists is
+    skipped entirely; within an unfinished segment, docs parts already
+    written are not rewritten. The unit plan is a pure function of the
+    input file list, so doc ids are identical across resumes.
+
+    ``metrics`` (optional dict) receives per-stage wall times and
+    counts — the per-stage lineage/throughput record the north rule
+    asks for; it is also persisted into the manifest.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    files = _input_files(input_path)
+    units = plan_units(files, target_rows=target_unit_rows)
+    segments = [
+        units[i : i + units_per_segment]
+        for i in range(0, len(units), units_per_segment)
+    ]
+    metrics = metrics if metrics is not None else {}
+    metrics["segments"] = []
+
+    cfg_json = config.to_json()
+    seg_manifests = []
+    for si, seg_units in enumerate(segments):
+        seg_name = f"seg-{si:03d}"
+        seg_manifest_path = os.path.join(index_dir, f"{seg_name}.manifest.json")
+        if os.path.exists(seg_manifest_path):
+            with open(seg_manifest_path) as f:
+                seg_manifests.append(json.load(f))
+            metrics["segments"].append({"segment": seg_name, "skipped": True})
+            continue
+        t0 = time.monotonic()
+        docs_dir = os.path.join(index_dir, "docs", seg_name)
+        postings_dir = os.path.join(index_dir, "postings", seg_name)
+        os.makedirs(docs_dir, exist_ok=True)
+        os.makedirs(postings_dir, exist_ok=True)
+        nb = num_buckets or max(16, len(seg_units))
+
+        ds = ray.data.from_items(seg_units)
+        partials = ds.map_batches(
+            BuildPartials,
+            fn_constructor_args=(cfg_json, docs_dir, nb),
+            batch_size=1,
+            concurrency=(1, 32),
+            batch_format="numpy",
+        )
+        manifest_rows = (
+            partials.groupby(["shard", "bucket"])
+            .map_groups(
+                MergeBucket(cfg_json, postings_dir), batch_format="pyarrow"
+            )
+            .take_all()
+        )
+        rows = int(sum(u["rows"] for u in seg_units))
+        seg_manifest = {
+            "segment": seg_name,
+            "doc_lo": int(seg_units[0]["doc_base"]),
+            "doc_hi": int(seg_units[-1]["doc_base"] + seg_units[-1]["rows"]),
+            "units": [
+                {"unit": u["unit"], "path": u["path"], "rows": u["rows"],
+                 "doc_base": u["doc_base"]}
+                for u in seg_units
+            ],
+            "docs_files": [
+                os.path.join(docs_dir, f"part-u{u['unit']:06d}.parquet")
+                for u in seg_units
+            ],
+            "postings": sorted(
+                (
+                    {k: r[k] for k in ("shard", "bucket", "path", "rows", "n_postings")}
+                    for r in manifest_rows
+                ),
+                key=lambda r: (r["shard"], r["bucket"]),
+            ),
+        }
+        _atomic_json(seg_manifest, seg_manifest_path)
+        seg_manifests.append(seg_manifest)
+        dt = time.monotonic() - t0
+        metrics["segments"].append(
+            {"segment": seg_name, "rows": rows, "sec": round(dt, 3),
+             "rows_per_sec": round(rows / dt, 1)}
+        )
+
+    # ---- global stats (N, per-field dl sums) from docs dl_* columns
+    t0 = time.monotonic()
+    docs_files = [p for m in seg_manifests for p in m["docs_files"]]
+    scored_fields = sorted(
+        {n for n, fc in config.fields.items() if fc.scored}
+        | ({"_all"} if config.all_field and config.all_scored else set())
+    )
+    dl_cols = [f"dl_{f}" for f in scored_fields]
+    stats: dict = {"N": 0, "fields": {}}
+    if dl_cols:
+        def _partial(batch: pa.Table) -> pa.Table:
+            out = {"n": pa.array([batch.num_rows], type=pa.int64())}
+            for c in dl_cols:
+                col = batch[c].to_numpy()
+                out[f"count_{c}"] = pa.array([int((col > 0).sum())], type=pa.int64())
+                out[f"sum_{c}"] = pa.array([int(col.sum())], type=pa.int64())
+            return pa.table(out)
+
+        parts = (
+            ray.data.read_parquet(docs_files, columns=dl_cols)
+            .map_batches(_partial, batch_format="pyarrow")
+            .take_all()
+        )
+        stats["N"] = int(sum(p["n"] for p in parts))
+        for f in scored_fields:
+            stats["fields"][f] = {
+                "doc_count": int(sum(p[f"count_dl_{f}"] for p in parts)),
+                "sum_dl": int(sum(p[f"sum_dl_{f}"] for p in parts)),
+            }
+    else:
+        stats["N"] = int(sum(m["doc_hi"] - m["doc_lo"] for m in seg_manifests))
+    metrics["stats_sec"] = round(time.monotonic() - t0, 3)
+
+    # ---- global term stats: df per key (sums chunk/segment partials)
+    t0 = time.monotonic()
+    posting_files = [
+        p["path"] for m in seg_manifests for p in m["postings"]
+    ]
+    termstats_dir = os.path.join(index_dir, "termstats")
+    if posting_files:
+        (
+            ray.data.read_parquet(posting_files, columns=["key", "df"])
+            .groupby("key")
+            .sum("df")
+            .write_parquet(termstats_dir)
+        )
+    metrics["termstats_sec"] = round(time.monotonic() - t0, 3)
+
+    manifest = {
+        "version": 1,
+        "config": cfg_json,
+        "stats": stats,
+        "num_shards": config.num_shards,
+        "chunk_shift": config.chunk_shift,
+        "segments": seg_manifests,
+        "termstats_dir": termstats_dir if posting_files else None,
+        "metrics": metrics,
+    }
+    _atomic_json(manifest, os.path.join(index_dir, "manifest.json"))
+    return index_dir
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

@@ -21,11 +21,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a u64 array as concatenated LEB128 varints."""
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a u64 array as concatenated LEB128 varints.
+
+    Returns ``(payload, nbytes)`` where ``nbytes[i]`` is the encoded
+    width of ``values[i]`` — callers slice the payload into per-group
+    binary cells without re-encoding (the build pipeline encodes an
+    entire batch of posting groups in one call).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlength/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -49,7 +55,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[pos] = byte | cont
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a u64 array as concatenated LEB128 varints."""
+    return vbyte_encode_with_lengths(values)[0]
 
 
 def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -92,6 +103,97 @@ def delta_decode_docs(buf: bytes, count: int | None = None) -> np.ndarray:
         return gaps
     gaps[1:] += np.uint64(1)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+# --- segmented (multi-group) helpers -------------------------------
+#
+# The build pipeline encodes/decodes THOUSANDS of posting groups per
+# batch. Doing that one group at a time would be a Python loop in the
+# hot path, so these helpers operate on a single concatenated value
+# array plus group boundaries, in O(batch) numpy ops.
+
+
+def segmented_gaps(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Per-group delta encoding of concatenated sorted u64 groups.
+
+    ``values`` is the concatenation of strictly-increasing groups;
+    ``group_starts`` are the start indices. Output: first element of
+    each group stays absolute, the rest become ``gap-1``.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    gaps = np.empty_like(v)
+    gaps[0] = v[0]
+    gaps[1:] = v[1:] - v[:-1] - np.uint64(1)
+    gaps[group_starts] = v[group_starts]
+    return gaps
+
+
+def segmented_undelta(gaps: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`segmented_gaps` (segmented cumulative sum)."""
+    g = gaps.astype(np.uint64, copy=True)
+    if g.size == 0:
+        return g
+    is_start = np.zeros(g.shape, dtype=bool)
+    is_start[group_starts] = True
+    g[~is_start] += np.uint64(1)
+    c = np.cumsum(g, dtype=np.uint64)
+    # subtract, within each group, the cumsum accumulated before it
+    base = c[group_starts] - g[group_starts]
+    lengths = np.diff(np.concatenate([group_starts, [g.size]]))
+    return c - np.repeat(base, lengths)
+
+
+def binary_cells_from_lengths(
+    payload: bytes, nbytes: np.ndarray, group_starts: np.ndarray
+) -> "pa.LargeBinaryArray":
+    """Zero-copy split of one varint payload into per-group binary cells.
+
+    ``nbytes`` is the per-value byte width from
+    :func:`vbyte_encode_with_lengths`; ``group_starts`` index into the
+    value array. Returns a ``large_binary`` Arrow array with one cell
+    per group, built directly from offset/data buffers (no per-group
+    Python slicing).
+    """
+    import pyarrow as pa
+
+    byte_ends = np.cumsum(nbytes, dtype=np.int64)
+    total = int(byte_ends[-1]) if nbytes.size else 0
+    # extended so a group_start equal to len(values) (an empty tail
+    # group) maps to the end of the payload
+    byte_starts_ext = np.concatenate([byte_ends - nbytes, [total]])
+    ngroups = group_starts.size
+    offsets = np.empty(ngroups + 1, dtype=np.int64)
+    offsets[:-1] = byte_starts_ext[group_starts]
+    offsets[-1] = total
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        ngroups,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+    )
+
+
+def concat_binary_column(col) -> bytes:
+    """Concatenate all cells of a (large_)binary Arrow column into one
+    contiguous byte string without per-cell Python slicing."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        off_width = 8 if pa.types.is_large_binary(ch.type) else 4
+        dtype = np.int64 if off_width == 8 else np.int32
+        raw = np.frombuffer(ch.buffers()[1], dtype=dtype)
+        offs = raw[ch.offset : ch.offset + len(ch) + 1]
+        data = ch.buffers()[2]
+        parts.append(bytes(memoryview(data)[offs[0] : offs[-1]]) if data is not None else b"")
+    return b"".join(parts)
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:

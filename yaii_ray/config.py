@@ -79,6 +79,7 @@ class IndexConfig:
     )
     all_field: bool = True           # maintain the _all catch-all field
     all_analyzer: str = "standard_stop"  # _all uses the stopword filter
+    all_scored: bool = False         # _all participates in BM25 (dl tracked)
     num_shards: int = 8
     chunk_shift: int = 20            # salt granularity: doc-range chunks of 2^20 ids
     block_size: int = 128            # block-max block length (postings per block)
@@ -94,6 +95,7 @@ class IndexConfig:
             "default": self.default.to_json(),
             "all_field": self.all_field,
             "all_analyzer": self.all_analyzer,
+            "all_scored": self.all_scored,
             "num_shards": self.num_shards,
             "chunk_shift": self.chunk_shift,
             "block_size": self.block_size,
@@ -108,6 +110,7 @@ class IndexConfig:
             default=FieldConfig.from_json(d["default"]),
             all_field=d["all_field"],
             all_analyzer=d["all_analyzer"],
+            all_scored=d.get("all_scored", False),
             num_shards=d["num_shards"],
             chunk_shift=d["chunk_shift"],
             block_size=d["block_size"],
@@ -143,7 +146,10 @@ def documents_config(num_shards: int = 4) -> IndexConfig:
     """Index config for the testdata ``documents`` table."""
     return IndexConfig(
         fields={
-            "doc_id": FieldConfig(flags=Flags.STORED, kind=KIND_NUMBER, add_to_all=False),
+            # input doc_id is 0..N-1 in row order == our dense internal
+            # doc_id, so indexing/storing it again would only collide
+            # with the engine's id column
+            "doc_id": FieldConfig(flags=Flags.IGNORED, kind=KIND_NUMBER, add_to_all=False),
             "text": FieldConfig(
                 kind=KIND_TEXT, analyzer="standard_stop", scored=True, add_to_all=False
             ),

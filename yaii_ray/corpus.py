@@ -97,26 +97,35 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def transcripts_path(n_turns: int, seed: int = SEED, base: str = "/tmp/yaii_corpus") -> str:
+def transcripts_path(
+    n_turns: int,
+    seed: int = SEED,
+    base: str = "/tmp/yaii_corpus",
+    rows_per_file: int = 250_000,
+    row_group_size: int = 65_536,
+) -> str:
     """Generate (once, cached) and return the corpus directory.
 
-    Written as ~250k-row Parquet files so the read stage parallelizes;
-    files are strictly ordered by (conv_id, turn_idx) across the
-    file-name sort order — the doc-id assignment relies on this.
+    Written as multi-row-group Parquet files so the read stage
+    parallelizes (the build's unit planner splits on row-group
+    boundaries); files are strictly ordered by (conv_id, turn_idx)
+    across the file-name sort order — doc-id assignment relies on this.
     """
-    out = os.path.join(base, f"n{n_turns}_s{seed}")
+    out = os.path.join(base, f"n{n_turns}_s{seed}_rg{row_group_size}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    rows_per_file = 250_000
     written = 0
     part = 0
     while written < n_turns:
         n = min(rows_per_file, n_turns - written)
-        # deterministic per-part seed derived from (seed, part)
         tbl = generate_transcripts_slice(n_turns, seed, written, n)
-        pq.write_table(tbl, os.path.join(out, f"part-{part:05d}.parquet"))
+        pq.write_table(
+            tbl,
+            os.path.join(out, f"part-{part:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
         written += n
         part += 1
     with open(marker, "w") as f:

@@ -1,0 +1,228 @@
+"""Index facade — open / search / query / project over a built index.
+
+Mirrors the reference's public surface (``BaseInvertedIndex.query`` /
+``aggregateQuery``, ``src/base-inverted-index.ts:297-497``) re-expressed
+for a distributed index:
+
+- the driver plans (DSL → IR → rewrite, pure — query/ir.py), looks up
+  global term stats, and broadcasts the plan to the shard actor pool;
+- shards answer with doc-id arrays (boolean) or local top-k
+  (doc, score) pairs (BM25); the driver k-way merges — the same
+  two-phase top-k the reference runs across segments
+  (``base-inverted-index.ts:430-467``);
+- winning rows are projected by reading only the docs-table files
+  whose doc-id range overlaps the winners (manifest-driven pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from yaii_ray import scoring
+from yaii_ray.analysis.tokenizer import tokenize_string
+from yaii_ray.build import load_manifest
+from yaii_ray.config import IndexConfig
+from yaii_ray.query import dsl, ir
+from yaii_ray.shards import make_shard_actor
+from yaii_ray.stages.termize import KEY_SEP
+
+
+class Index:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.config = IndexConfig.from_json(self.manifest["config"])
+        self._actors: list | None = None
+
+    # ---- actor pool ------------------------------------------------
+
+    @property
+    def actors(self) -> list:
+        if self._actors is None:
+            cls = make_shard_actor()
+            self._actors = [
+                cls.remote(self.index_dir, s)
+                for s in range(self.manifest["num_shards"])
+            ]
+        return self._actors
+
+    def warmup(self) -> None:
+        import ray
+
+        ray.get([a.warmup.remote() for a in self.actors])
+
+    def close(self) -> None:
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None
+
+    # ---- global statistics ----------------------------------------
+
+    def field_stats(self, field: str) -> tuple[int, float]:
+        """(doc_count, avgdl) of a scored field."""
+        st = self.manifest["stats"]["fields"][field]
+        dc = st["doc_count"]
+        return dc, (float(st["sum_dl"]) / dc if dc else 0.0)
+
+    def df_lookup(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Global df per term from the termstats table (predicate-pushdown
+        read of a 2-column Parquet dir — no shard involvement)."""
+        tdir = self.manifest.get("termstats_dir")
+        if not tdir:
+            return {}
+        keys = [field + KEY_SEP + t for t in terms]
+        dataset = pa_ds.dataset(tdir)
+        t = dataset.to_table(filter=pa_ds.field("key").isin(keys))
+        out: dict[str, int] = {}
+        for key, df in zip(t["key"].to_pylist(), t["sum(df)"].to_pylist()):
+            out[key.split(KEY_SEP, 1)[1]] = int(df)
+        return out
+
+    # ---- BM25 search ----------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        field: str = "text",
+        k: int = 10,
+        filter: dsl.Query | None = None,
+        project: list[str] | None = None,
+    ) -> pa.Table:
+        """Top-k BM25 over ``field``. Tokenizes ``query`` with the
+        field's analyzer semantics, fans out block-max WAND to the
+        shard pool, k-way merges. Returns (doc_id, score [, columns])."""
+        import ray
+
+        fc = self.config.resolve(field)
+        stop = fc.analyzer == "standard_stop"
+        raw_terms = sorted(set(tokenize_string(query, stopwords=stop)))
+        terms = ["0" + t for t in raw_terms]
+        dfs = self.df_lookup(field, terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        doc_count, avgdl = self.field_stats(field)
+        idfs = [float(scoring.bm25_idf(float(dfs[t]), doc_count)) for t in terms]
+        filter_exp = plan(filter) if filter is not None else None
+
+        if terms:
+            results = ray.get(
+                [
+                    a.search_bm25.remote(
+                        field, terms, idfs, k,
+                        self.config.k1, self.config.b, avgdl, filter_exp,
+                    )
+                    for a in self.actors
+                ]
+            )
+            docs = np.concatenate([r[0] for r in results])
+            scores = np.concatenate([r[1] for r in results])
+            docs, scores = scoring.topk(docs, scores, k)
+        else:
+            docs = np.zeros(0, dtype=np.uint64)
+            scores = np.zeros(0, dtype=np.float64)
+        out = pa.table(
+            {"doc_id": pa.array(docs, type=pa.uint64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )
+        if project:
+            rows = self.project(docs, columns=project)
+            for c in project:
+                out = out.append_column(c, rows[c])
+        return out
+
+    # ---- boolean / sorted queries ---------------------------------
+
+    def resolve(self, query: dsl.Query) -> np.ndarray:
+        """Matching doc ids (sorted u64) across all shards."""
+        import ray
+
+        exp = plan(query)
+        if isinstance(exp, ir.NoneExp):
+            return np.zeros(0, dtype=np.uint64)
+        parts = ray.get([a.resolve.remote(exp) for a in self.actors])
+        return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+
+    def count(self, query: dsl.Query) -> int:
+        return int(self.resolve(query).size)
+
+    def query(
+        self,
+        filter: dsl.Query,
+        sort: list[dsl.SortClause] | None = None,
+        limit: int | None = None,
+        columns: list[str] | None = None,
+    ) -> pa.Table:
+        """Filter [+ sort] [+ limit] [+ projection] — the reference's
+        ``query()`` (base-inverted-index.ts:408-497). Unsorted limited
+        queries truncate in doc-id order (= ingestion order, matching
+        the reference's arrival-order semantics)."""
+        docs = self.resolve(filter)
+        if sort is None and limit is not None:
+            docs = docs[:limit]
+        rows = self.project(docs, columns=columns)
+        if sort:
+            rows = sort_table(rows, sort)
+            if limit is not None:
+                rows = rows.slice(0, limit)
+        return rows
+
+    # ---- projection (M5) ------------------------------------------
+
+    def project(
+        self, doc_ids: np.ndarray, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Fetch doc rows by id, returned in the order of ``doc_ids``.
+        Reads only docs files whose dense-id range overlaps."""
+        want = np.asarray(doc_ids, dtype=np.uint64)
+        order = np.argsort(want, kind="stable")
+        sorted_want = want[order]
+        tables = []
+        for seg in self.manifest["segments"]:
+            for u, path in zip(seg["units"], seg["docs_files"]):
+                lo, hi = u["doc_base"], u["doc_base"] + u["rows"]
+                a = np.searchsorted(sorted_want, np.uint64(lo), side="left")
+                z = np.searchsorted(sorted_want, np.uint64(hi), side="left")
+                if z <= a:
+                    continue
+                cols = (["doc_id"] + [c for c in columns if c != "doc_id"]) if columns else None
+                t = pq.read_table(path, columns=cols)
+                ids = t["doc_id"].to_numpy()
+                mask = np.isin(ids, sorted_want[a:z])
+                tables.append(t.filter(pa.array(mask)))
+        if not tables:
+            schema = pq.read_schema(self.manifest["segments"][0]["docs_files"][0])
+            if columns:
+                schema = pa.schema([schema.field(c) for c in (["doc_id"] + [c for c in columns if c != "doc_id"])])
+            return schema.empty_table()
+        got = pa.concat_tables(tables)
+        # restore requested order
+        got_ids = got["doc_id"].to_numpy()
+        pos = {int(d): i for i, d in enumerate(got_ids)}
+        take = [pos[int(d)] for d in want if int(d) in pos]
+        return got.take(pa.array(take, type=pa.int64()))
+
+
+def plan(query: dsl.Query) -> ir.Exp:
+    """DSL → rewritten IR (pure, driver-side)."""
+    return ir.build_expression(query)
+
+
+def sort_table(table: pa.Table, clauses: list[dsl.SortClause]) -> pa.Table:
+    """Multi-clause stable sort with the reference's null semantics:
+    missing values are smallest (undefined < everything,
+    ``utils.ts:122-184``), so DESC puts them last. ICU collation is
+    approximated by codepoint order (SURVEY.md §7 known risk)."""
+    df = table.to_pandas()
+    for cl in reversed(clauses):
+        df = df.sort_values(
+            cl.field,
+            ascending=(cl.dir == dsl.ASC),
+            na_position=("first" if cl.dir == dsl.ASC else "last"),
+            kind="stable",
+        )
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

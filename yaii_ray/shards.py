@@ -1,0 +1,353 @@
+"""Index shards — stateful query-side actors over doc-range partitions.
+
+A shard owns every chunk ``c`` with ``c % num_shards == shard_id``;
+since postings were written partitioned by shard, the shard holds ALL
+terms for ITS docs (document-partitioned index). Consequences:
+
+- boolean algebra (AND/OR/NOT) is fully shard-local on sorted u64
+  doc-id arrays (np.intersect1d/union/setdiff — the vectorized
+  counterpart of the reference's leapfrog/heap iterator ops,
+  ``operations.ts:12-226``),
+- BM25 top-k is shard-local block-max WAND + a tiny driver-side k-way
+  merge; global statistics (df, N, avgdl) are computed once at build
+  and passed IN with the query, so no cross-shard chatter at query
+  time.
+
+State lives in an actor (``IndexShardActor``): the term dictionary
+(sorted key array + row metadata) is loaded once in ``__init__`` —
+the Ray-native equivalent of the reference's per-segment LRU-cached
+LevelDB reads (``immutable-segment.ts:87,311-331``); posting binaries
+are decoded lazily per (key, chunk) row and memoized.
+
+Block-max WAND here is the *best-first windowed* variant: the doc
+space is cut into windows, each window gets an upper bound from the
+per-block (max tf, min dl) sidecars, and windows are scored in
+descending upper-bound order until the bound falls below the running
+k-th score — at which point NO remaining window can contain a top-k
+doc, so the scan stops. Skipping is provably lossless (scores of
+surviving windows are computed exactly), which is what makes
+rank-AND-score-identical parity with the brute-force oracle testable.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yaii_ray import codec, scoring
+from yaii_ray.query import ir
+from yaii_ray.stages.termize import KEY_SEP
+
+
+class ShardState:
+    def __init__(self, manifest: dict, shard_id: int):
+        self.manifest = manifest
+        self.shard_id = shard_id
+        self.num_shards = manifest["num_shards"]
+        self.chunk_shift = manifest["chunk_shift"]
+        files = [
+            p["path"]
+            for seg in manifest["segments"]
+            for p in seg["postings"]
+            if p["shard"] == shard_id
+        ]
+        tables = [pq.read_table(f) for f in files]
+        if tables:
+            t = pa.concat_tables(tables).sort_by(
+                [("key", "ascending"), ("chunk", "ascending")]
+            )
+        else:
+            from yaii_ray.stages.merge import MergeBucket  # schema only
+            t = pa.schema(
+                [("key", pa.large_string()), ("chunk", pa.int64()), ("df", pa.int64())]
+            ).empty_table()
+        self.keys: np.ndarray = np.asarray(t["key"].to_pandas(), dtype=object)
+        self.chunk = t["chunk"].to_numpy() if t.num_rows else np.zeros(0, np.int64)
+        self.df = t["df"].to_numpy() if t.num_rows else np.zeros(0, np.int64)
+        self.table = t
+        self._decoded: dict[int, tuple] = {}
+        self._doc_ids: np.ndarray | None = None
+
+    # ---- term dictionary ------------------------------------------
+
+    def _span(self, key: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self.keys, key)  # type: ignore[arg-type]
+        hi = bisect.bisect_right(self.keys, key)  # type: ignore[arg-type]
+        return lo, hi
+
+    def _key_range_span(self, key_lo: str, key_hi: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self.keys, key_lo)  # type: ignore[arg-type]
+        hi = bisect.bisect_left(self.keys, key_hi)  # type: ignore[arg-type]
+        return lo, hi
+
+    def _decode_row(self, row: int) -> tuple:
+        """-> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl) arrays."""
+        hit = self._decoded.get(row)
+        if hit is not None:
+            return hit
+        df = int(self.df[row])
+        t = self.table
+        docs = codec.delta_decode_docs(t["docs"][row].as_py(), df)
+        tfs = codec.decode_tfs(t["tfs"][row].as_py(), df)
+        dls_raw = t["dls"][row].as_py()
+        dls = codec.decode_tfs(dls_raw, df) if dls_raw else None
+        bl_raw = t["blk_last"][row].as_py()
+        blk_last = codec.delta_decode_docs(bl_raw) if bl_raw else None
+        mt_raw = t["blk_maxtf"][row].as_py()
+        blk_maxtf = codec.decode_tfs(mt_raw) if mt_raw else None
+        md_raw = t["blk_mindl"][row].as_py()
+        blk_mindl = codec.decode_tfs(md_raw) if md_raw else None
+        out = (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)
+        self._decoded[row] = out
+        return out
+
+    def term_postings(self, field: str, term: str) -> tuple:
+        """Concatenate chunk rows of (field, term) in doc order.
+        -> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)."""
+        lo, hi = self._span(field + KEY_SEP + term)
+        return self._concat_rows(range(lo, hi))
+
+    def _concat_rows(self, rows) -> tuple:
+        parts = [self._decode_row(r) for r in rows]
+        if not parts:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z.copy(), None, None, None, None
+        if len(parts) == 1:
+            return parts[0]
+        def cat(i):
+            arrs = [p[i] for p in parts]
+            return None if arrs[0] is None else np.concatenate(arrs)
+        return tuple(cat(i) for i in range(6))
+
+    # ---- doc universe (for ALL / NOT) ------------------------------
+
+    def doc_ids(self) -> np.ndarray:
+        """All doc ids owned by this shard (sorted). Lazily loaded from
+        the docs table's doc_id column (single-column Parquet read)."""
+        if self._doc_ids is None:
+            files = [
+                p for seg in self.manifest["segments"] for p in seg["docs_files"]
+            ]
+            cols = []
+            for f in files:
+                arr = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+                mask = (arr >> np.uint64(self.chunk_shift)) % np.uint64(
+                    self.num_shards
+                ) == np.uint64(self.shard_id)
+                cols.append(arr[mask])
+            self._doc_ids = (
+                np.sort(np.concatenate(cols)) if cols else np.zeros(0, np.uint64)
+            )
+        return self._doc_ids
+
+    # ---- boolean resolve (Q4-Q12) ----------------------------------
+
+    def resolve(self, exp: ir.Exp) -> np.ndarray:
+        """Exp tree -> sorted u64 doc-id array (shard-local)."""
+        if isinstance(exp, ir.AllExp):
+            return self.doc_ids()
+        if isinstance(exp, ir.NoneExp):
+            return np.zeros(0, dtype=np.uint64)
+        if isinstance(exp, ir.TermExp):
+            return self.term_postings(exp.field, exp.term)[0]
+        if isinstance(exp, ir.TermRangeExp):
+            lo, hi = self._key_range_span(
+                exp.field + KEY_SEP + exp.lo, exp.field + KEY_SEP + exp.hi
+            )
+            docs = self._concat_rows(range(lo, hi))[0]
+            return np.unique(docs)
+        if isinstance(exp, ir.BoolExp):
+            must_sets = [self.resolve(e) for e in exp.must]
+            should_sets = [self.resolve(e) for e in exp.should]
+            acc: np.ndarray | None = None
+            if must_sets:
+                must_sets.sort(key=len)
+                acc = must_sets[0]
+                for s in must_sets[1:]:
+                    if acc.size == 0:
+                        break
+                    acc = snp_intersect(acc, s)
+            if should_sets:
+                union = (
+                    np.unique(np.concatenate(should_sets))
+                    if len(should_sets) > 1
+                    else should_sets[0]
+                )
+                acc = union if acc is None else snp_intersect(acc, union)
+            if acc is None:
+                acc = self.doc_ids()
+            for e in exp.must_not:
+                if acc.size == 0:
+                    break
+                acc = snp_setdiff(acc, self.resolve(e))
+            return acc
+        raise TypeError(f"cannot resolve {type(exp).__name__}")
+
+    # ---- BM25 block-max WAND (§2.11) -------------------------------
+
+    def search_bm25(
+        self,
+        field: str,
+        terms: list[str],
+        idfs: list[float],
+        k: int,
+        k1: float,
+        b: float,
+        avgdl: float,
+        filter_exp: ir.Exp | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shard-local exact top-k by BM25 (see module docstring).
+
+        ``terms`` MUST be sorted ascending (the driver guarantees it) —
+        that fixes the float accumulation order for oracle parity.
+        """
+        postings = []
+        for term, idf in zip(terms, idfs):
+            docs, tfs, dls, blk_last, blk_maxtf, blk_mindl = self.term_postings(
+                field, term
+            )
+            if docs.size == 0 or dls is None:
+                continue
+            postings.append((idf, docs, tfs, dls, blk_last, blk_maxtf, blk_mindl))
+        if not postings:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float64)
+
+        allowed = self.resolve(filter_exp) if filter_exp is not None else None
+        if allowed is not None and allowed.size == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float64)
+
+        lo_doc = min(int(p[1][0]) for p in postings)
+        hi_doc = max(int(p[1][-1]) for p in postings)
+        span = hi_doc - lo_doc + 1
+        # window grid: at most ~4096 windows over the occupied doc range
+        w_shift = max(0, span.bit_length() - 12)
+        nwin = (hi_doc >> w_shift) - (lo_doc >> w_shift) + 1
+        w_base = lo_doc >> w_shift
+
+        # window bound = Σ over terms of (max block contribution
+        # overlapping the window) — paint each term's maxima into its
+        # own array, then SUM across terms
+        win_ub = np.zeros(nwin, dtype=np.float64)
+        for idf, docs, tfs, dls, blk_last, blk_maxtf, blk_mindl in postings:
+            ub = scoring.bm25_contrib(blk_maxtf, blk_mindl, idf, k1, b, avgdl)
+            first_doc = np.empty_like(blk_last)
+            first_doc[0] = docs[0]
+            first_doc[1:] = blk_last[:-1] + np.uint64(1)
+            w_lo = (first_doc >> np.uint64(w_shift)).astype(np.int64) - w_base
+            w_hi = (blk_last >> np.uint64(w_shift)).astype(np.int64) - w_base
+            spans = w_hi - w_lo + 1
+            total_paint = int(spans.sum())
+            term_ub = np.zeros(nwin, dtype=np.float64)
+            if total_paint <= 4 * nwin + 4096:
+                idx = _segment_indices(w_lo, spans)
+                np.maximum.at(term_ub, idx, np.repeat(ub, spans))
+            else:
+                # sparse fallback: constant bound over the term's range
+                term_ub[int(w_lo.min()) : int(w_hi.max()) + 1] = float(ub.max())
+            win_ub += term_ub
+
+        order = np.argsort(-win_ub, kind="stable")
+        top_docs = np.zeros(0, dtype=np.uint64)
+        top_scores = np.zeros(0, dtype=np.float64)
+        kth = -np.inf
+        for w in order:
+            ub_w = win_ub[w]
+            if ub_w <= 0.0:
+                break
+            if top_docs.size >= k and ub_w < kth:
+                break  # no remaining window can beat the k-th score
+            w_start = np.uint64((w + w_base) << w_shift)
+            w_end = np.uint64(((w + w_base + 1) << w_shift) - 1)
+            docs_pt, contribs_pt = [], []
+            for idf, docs, tfs, dls, *_ in postings:
+                a = np.searchsorted(docs, w_start, side="left")
+                z = np.searchsorted(docs, w_end, side="right")
+                if z > a:
+                    docs_pt.append(docs[a:z])
+                    contribs_pt.append(
+                        scoring.bm25_contrib(tfs[a:z], dls[a:z], idf, k1, b, avgdl)
+                    )
+            cand_docs, cand_scores = scoring.combine_contributions(
+                docs_pt, contribs_pt
+            )
+            if allowed is not None and cand_docs.size:
+                mask = snp_member(cand_docs, allowed)
+                cand_docs, cand_scores = cand_docs[mask], cand_scores[mask]
+            if cand_docs.size == 0:
+                continue
+            top_docs = np.concatenate([top_docs, cand_docs])
+            top_scores = np.concatenate([top_scores, cand_scores])
+            top_docs, top_scores = scoring.topk(top_docs, top_scores, k)
+            if top_docs.size >= k:
+                kth = top_scores[-1]
+        return top_docs, top_scores
+
+
+def _segment_indices(starts: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Concatenated arange(start_i, start_i + size_i)."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(sizes)
+    out_starts = ends - sizes
+    idx[out_starts] = starts
+    idx[out_starts[1:]] -= starts[:-1] + sizes[:-1] - 1
+    return np.cumsum(idx)
+
+
+def snp_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sorted-array intersection (galloping via searchsorted)."""
+    if a.size > b.size:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    return a[b[idx] == a]
+
+
+def snp_setdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if b.size == 0 or a.size == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    return a[b[idx] != a]
+
+
+def snp_member(a: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(sorted_set, a)
+    idx[idx == sorted_set.size] = 0
+    return sorted_set[idx] == a
+
+
+def make_shard_actor():
+    """ray.remote wrapper created lazily so importing this module never
+    requires an initialized Ray."""
+    import ray
+
+    # num_cpus=0: shard actors are resident request servers that burst
+    # CPU only while a query is in flight; reserving whole cores would
+    # starve concurrently running Dataset build jobs (on a multi-node
+    # cluster, pin them with num_cpus=1 and spread via scheduling
+    # strategy instead).
+    @ray.remote(num_cpus=0)
+    class IndexShardActor:
+        """One query shard held in actor memory (stateful stage)."""
+
+        def __init__(self, index_dir: str, shard_id: int):
+            from yaii_ray.build import load_manifest
+
+            self.state = ShardState(load_manifest(index_dir), shard_id)
+
+        def resolve(self, exp: ir.Exp) -> np.ndarray:
+            return self.state.resolve(exp)
+
+        def search_bm25(self, *args, **kw):
+            return self.state.search_bm25(*args, **kw)
+
+        def warmup(self) -> int:
+            return len(self.state.keys)
+
+    return IndexShardActor
