@@ -1,0 +1,88 @@
+"""G1-G4 aggregation tests over the transcript index, checked against
+pandas recomputation on the raw corpus — incl. the reference's
+"vector clock" pattern GROUP_BY(author, [COUNT, FIRST(sequence DESC)])
+(``test/performance/performance-ssb.ts:484-518``)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yaii_ray import corpus
+from yaii_ray.aggs import Count, First, GroupBy, Last
+from yaii_ray.build import build_index
+from yaii_ray.config import transcripts_config
+from yaii_ray.engine import Index
+from yaii_ray.query import dsl
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    src = corpus.transcripts_path(N, base="/tmp/yaii_corpus_test", row_group_size=500)
+    out = str(tmp_path_factory.mktemp("aggidx") / "idx")
+    build_index(src, out, transcripts_config(num_shards=2), target_unit_rows=800)
+    idx = Index(out)
+    import os
+
+    full = pa.concat_tables(
+        pq.read_table(os.path.join(src, f))
+        for f in sorted(os.listdir(src))
+        if f.endswith(".parquet")
+    ).to_pandas()
+    yield idx, full
+    idx.close()
+
+
+def test_count(built):
+    idx, df = built
+    res = idx.aggregate(dsl.token("user", "role"), [Count()])
+    assert res["count"] == int((df["role"] == "user").sum())
+
+
+def test_first_last(built):
+    idx, df = built
+    res = idx.aggregate(
+        dsl.token("assistant", "role"),
+        [
+            First((dsl.SortClause("ts", dsl.ASC),), project=("conv_id", "turn_idx")),
+            Last((dsl.SortClause("ts", dsl.ASC),), project=("conv_id", "turn_idx")),
+        ],
+    )
+    sub = df[df["role"] == "assistant"].sort_values("ts", kind="stable")
+    assert res["first"]["conv_id"] == sub.iloc[0]["conv_id"]
+    assert res["first"]["turn_idx"] == sub.iloc[0]["turn_idx"]
+    assert res["last"]["conv_id"] == sub.iloc[-1]["conv_id"]
+    assert res["last"]["turn_idx"] == sub.iloc[-1]["turn_idx"]
+
+
+def test_group_by_vector_clock(built):
+    """GROUP_BY(role, [COUNT, FIRST(ts DESC, project turn_idx)]) — the
+    SSB vector-clock aggregation shape."""
+    idx, df = built
+    res = idx.aggregate(
+        dsl.all_query(),
+        [
+            GroupBy(
+                "role",
+                (First((dsl.SortClause("ts", dsl.DESC),), project=("turn_idx",)),),
+            )
+        ],
+    )["group_by"]
+    for _, row in res.iterrows():
+        sub = df[df["role"] == row["role"]]
+        assert row["count"] == len(sub)
+        want = sub.sort_values("ts", ascending=False, kind="stable").iloc[0]
+        assert row["first.ts"] == want["ts"]
+        assert row["first.turn_idx"] == want["turn_idx"]
+    assert sorted(res["role"]) == sorted(df["role"].unique())
+
+
+def test_group_by_filtered(built):
+    idx, df = built
+    res = idx.aggregate(dsl.present("tool"), [GroupBy("tool")])["group_by"]
+    want = df[df["tool"].notna()].groupby("tool").size()
+    got = dict(zip(res["tool"], res["count"]))
+    assert got == want.to_dict()

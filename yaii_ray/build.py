@@ -224,6 +224,21 @@ def build_index(
     return index_dir
 
 
+def build_index_from_table(
+    table: "pa.Table", index_dir: str, config: IndexConfig, **kw
+) -> str:
+    """Convenience for tests / small corpora: stage an Arrow table as a
+    Parquet input dir, then run the normal distributed build."""
+    import pyarrow.parquet as pq
+
+    src = index_dir.rstrip("/") + ".src"
+    os.makedirs(src, exist_ok=True)
+    dest = os.path.join(src, "part-00000.parquet")
+    if not os.path.exists(dest):
+        pq.write_table(table, dest)
+    return build_index(src, index_dir, config, **kw)
+
+
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)

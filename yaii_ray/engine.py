@@ -164,12 +164,57 @@ class Index:
         docs = self.resolve(filter)
         if sort is None and limit is not None:
             docs = docs[:limit]
-        rows = self.project(docs, columns=columns)
+        fetch = columns
+        if columns is not None and sort:
+            fetch = list(dict.fromkeys(columns + [c.field for c in sort]))
+        rows = self.project(docs, columns=fetch)
         if sort:
             rows = sort_table(rows, sort)
             if limit is not None:
                 rows = rows.slice(0, limit)
+            if columns is not None:
+                rows = rows.select(
+                    ["doc_id"] + [c for c in columns if c != "doc_id"]
+                )
         return rows
+
+    # ---- dataset view (scalable scan path) -------------------------
+
+    def docs_dataset(self, columns: list[str] | None = None, doc_ids=None):
+        """The docs table as a streaming ``ray.data.Dataset``, optionally
+        column-pruned and filtered to an index result.
+
+        The doc-id set is broadcast ONCE via ``ray.put``; each batch
+        applies a vectorized ``searchsorted`` membership mask — the
+        scalable way to push an index filter into a full scan (no
+        per-batch re-shipping, no shuffle)."""
+        import ray
+        import ray.data
+
+        files = [p for seg in self.manifest["segments"] for p in seg["docs_files"]]
+        cols = None
+        if columns is not None:
+            cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
+        ds = ray.data.read_parquet(files, columns=cols)
+        if doc_ids is not None:
+            ref = ray.put(np.asarray(doc_ids, dtype=np.uint64))
+
+            def keep(batch: pa.Table) -> pa.Table:
+                allowed = ray.get(ref)
+                ids = batch["doc_id"].to_numpy()
+                idx = np.searchsorted(allowed, ids)
+                idx[idx == allowed.size] = 0
+                mask = allowed[idx] == ids if allowed.size else np.zeros(len(ids), bool)
+                return batch.filter(pa.array(mask))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+        return ds
+
+    def aggregate(self, filter: dsl.Query, aggs: list) -> dict:
+        """G1-G4 aggregations over matching docs (yaii_ray.aggs)."""
+        from yaii_ray import aggs as aggs_mod
+
+        return aggs_mod.aggregate(self, filter, aggs)
 
     # ---- projection (M5) ------------------------------------------
 
