@@ -117,12 +117,16 @@ def build_index(
         os.makedirs(postings_dir, exist_ok=True)
         nb = num_buckets or max(16, len(seg_units))
 
+        # fixed-size actor pool: starts at full parallelism immediately
+        # (autoscaling pools ramp up too slowly for short segments) and
+        # amortizes per-process warmup across units
+        pool = int(min(len(seg_units), ray.cluster_resources().get("CPU", 8)))
         ds = ray.data.from_items(seg_units)
         partials = ds.map_batches(
             BuildPartials,
             fn_constructor_args=(cfg_json, docs_dir, nb),
             batch_size=1,
-            concurrency=(1, 32),
+            concurrency=pool,
             batch_format="numpy",
         )
         manifest_rows = (
@@ -202,8 +206,13 @@ def build_index(
     ]
     termstats_dir = os.path.join(index_dir, "termstats")
     if posting_files:
+        # coalesce the many small bucket files into a few read blocks —
+        # the groupby's shuffle overhead scales with block count
+        nblocks = max(4, min(len(posting_files), int(ray.cluster_resources().get("CPU", 8))))
         (
-            ray.data.read_parquet(posting_files, columns=["key", "df"])
+            ray.data.read_parquet(
+                posting_files, columns=["key", "df"], override_num_blocks=nblocks
+            )
             .groupby("key")
             .sum("df")
             .write_parquet(termstats_dir)

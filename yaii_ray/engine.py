@@ -16,6 +16,8 @@ for a distributed index:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pa_ds
@@ -70,16 +72,48 @@ class Index:
         dc = st["doc_count"]
         return dc, (float(st["sum_dl"]) / dc if dc else 0.0)
 
+    _TERMSTATS_CACHE_BYTES = 1 << 29  # keep term dict driver-resident below this
+
+    def _termstats(self):
+        """(sorted key array, df array) — cached in driver memory when
+        the on-disk term dictionary is small enough, else None (lookups
+        fall back to predicate-pushdown Parquet reads)."""
+        if not hasattr(self, "_ts_arrays"):
+            tdir = self.manifest.get("termstats_dir")
+            self._ts_arrays = None
+            if tdir:
+                import glob as _glob
+
+                files = sorted(_glob.glob(os.path.join(tdir, "*.parquet")))
+                total = sum(os.path.getsize(f) for f in files)
+                if total <= self._TERMSTATS_CACHE_BYTES:
+                    t = pa.concat_tables(pq.read_table(f) for f in files)
+                    keys = np.asarray(t["key"].to_pandas(), dtype=object)
+                    dfs = t["sum(df)"].to_numpy()
+                    order = np.argsort(keys)
+                    self._ts_arrays = (keys[order], dfs[order])
+        return self._ts_arrays
+
     def df_lookup(self, field: str, terms: list[str]) -> dict[str, int]:
-        """Global df per term from the termstats table (predicate-pushdown
-        read of a 2-column Parquet dir — no shard involvement)."""
+        """Global df per term from the termstats table — driver-cached
+        sorted-array lookup, or a predicate-pushdown read of the
+        2-column Parquet dir when the dictionary is too big to cache.
+        No shard involvement either way."""
         tdir = self.manifest.get("termstats_dir")
         if not tdir:
             return {}
         keys = [field + KEY_SEP + t for t in terms]
+        out: dict[str, int] = {}
+        cached = self._termstats()
+        if cached is not None:
+            skeys, sdfs = cached
+            for k in keys:
+                i = int(np.searchsorted(skeys, k))
+                if i < skeys.size and skeys[i] == k:
+                    out[k.split(KEY_SEP, 1)[1]] = int(sdfs[i])
+            return out
         dataset = pa_ds.dataset(tdir)
         t = dataset.to_table(filter=pa_ds.field("key").isin(keys))
-        out: dict[str, int] = {}
         for key, df in zip(t["key"].to_pylist(), t["sum(df)"].to_pylist()):
             out[key.split(KEY_SEP, 1)[1]] = int(df)
         return out

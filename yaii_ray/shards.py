@@ -249,27 +249,41 @@ class ShardState:
                 term_ub[int(w_lo.min()) : int(w_hi.max()) + 1] = float(ub.max())
             win_ub += term_ub
 
+        # best-first BATCHED window processing: 64 windows per vectorized
+        # iteration (per-term gather via searchsorted + segment indices),
+        # stop when the best remaining window bound < running k-th score.
+        # Windows are disjoint doc ranges, so a doc's contributions are
+        # never split across iterations and scores stay exact.
         order = np.argsort(-win_ub, kind="stable")
+        order = order[win_ub[order] > 0.0]
         top_docs = np.zeros(0, dtype=np.uint64)
         top_scores = np.zeros(0, dtype=np.float64)
         kth = -np.inf
-        for w in order:
-            ub_w = win_ub[w]
-            if ub_w <= 0.0:
-                break
-            if top_docs.size >= k and ub_w < kth:
+        BATCH = 64
+        ptr = 0
+        while ptr < order.size:
+            if top_docs.size >= k and win_ub[order[ptr]] < kth:
                 break  # no remaining window can beat the k-th score
-            w_start = np.uint64((w + w_base) << w_shift)
-            w_end = np.uint64(((w + w_base + 1) << w_shift) - 1)
+            batch = order[ptr : ptr + BATCH]
+            ptr += BATCH
+            if top_docs.size >= k:
+                batch = batch[win_ub[batch] >= kth]
+            w_starts = ((batch.astype(np.int64) + w_base) << w_shift).astype(np.uint64)
+            w_ends = (
+                ((batch.astype(np.int64) + w_base + 1) << w_shift) - 1
+            ).astype(np.uint64)
             docs_pt, contribs_pt = [], []
             for idf, docs, tfs, dls, *_ in postings:
-                a = np.searchsorted(docs, w_start, side="left")
-                z = np.searchsorted(docs, w_end, side="right")
-                if z > a:
-                    docs_pt.append(docs[a:z])
-                    contribs_pt.append(
-                        scoring.bm25_contrib(tfs[a:z], dls[a:z], idf, k1, b, avgdl)
-                    )
+                a = np.searchsorted(docs, w_starts, side="left")
+                z = np.searchsorted(docs, w_ends, side="right")
+                sizes = z - a
+                if not sizes.any():
+                    continue
+                sel = _segment_indices(a[sizes > 0], sizes[sizes > 0])
+                docs_pt.append(docs[sel])
+                contribs_pt.append(
+                    scoring.bm25_contrib(tfs[sel], dls[sel], idf, k1, b, avgdl)
+                )
             cand_docs, cand_scores = scoring.combine_contributions(
                 docs_pt, contribs_pt
             )

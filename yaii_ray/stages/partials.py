@@ -79,12 +79,18 @@ def docs_part_path(docs_dir: str, unit: int) -> str:
     return os.path.join(docs_dir, f"part-u{unit:06d}.parquet")
 
 
-class BuildPartials:
-    """map_batches actor-pool stage over the unit plan (batch_size=1).
+def build_partials_batch(
+    batch: dict, *, config_json: dict, docs_dir: str, num_buckets: int
+) -> pa.Table:
+    """Stateless map_batches TASK body (preferred over an actor pool:
+    no per-batch state worth amortizing, and a task pool parallelizes
+    instantly instead of waiting for actor-pool scale-up)."""
+    return BuildPartials(config_json, docs_dir, num_buckets)(batch)
 
-    Stateful setup (config resolution, output dirs) happens once per
-    actor in ``__init__``; per-unit work is fully vectorized.
-    """
+
+class BuildPartials:
+    """The per-unit build stage (see module docstring); used via
+    :func:`build_partials_batch` with batch_size=1."""
 
     def __init__(self, config_json: dict, docs_dir: str, num_buckets: int):
         self.config = IndexConfig.from_json(config_json)

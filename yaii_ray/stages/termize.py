@@ -61,9 +61,12 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def _number_terms_vectorized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """int64 values -> (flat_terms, counts=2 per value): the L0 digit
-    term and the full-precision L8 prefix term.
+_DIGIT_BYTES = np.frombuffer(terms_mod.ENCODING_DIGITS.encode(), dtype=np.uint8)
+
+
+def _number_terms_vectorized(values: np.ndarray) -> tuple[pa.Array, np.ndarray]:
+    """int64 values -> (flat_terms StringArray, counts=2 per value):
+    the L0 digit term and the full-precision L8 prefix term.
 
     Only L0 + L8 of the reference's 9 trie levels are indexed: equality
     is L0 AND L8 (reference query-ir.ts:177-189) and our range scans
@@ -72,17 +75,35 @@ def _number_terms_vectorized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray
     reference's test-skipped trie range decomposition — would be dead
     index weight. ``number_to_terms`` keeps full 9-term parity for the
     golden unit vectors.
+
+    Term strings are assembled as a fixed-width byte matrix viewed as
+    |S dtype (no per-level np.char.add string reallocation).
     """
     n = values + _SHIFT
-    l0 = np.char.add("1", _DIGITS[(n & 63).astype(np.int64)])
+    size = values.size
+    # L0: '1' + digit  (2 ASCII chars)
+    l0 = np.empty((size, 2), dtype=np.uint8)
+    l0[:, 0] = ord("1")
+    l0[:, 1] = _DIGIT_BYTES[(n & 63).astype(np.int64)]
+    # L8: '2' + 8 big-endian digits of n >> 6  (9 ASCII chars)
     hi = (n >> 6).astype(np.int64)
-    acc = np.full(values.shape, "2", dtype="U10")
-    for k in range(7, -1, -1):
-        acc = np.char.add(acc, _DIGITS[(hi >> (6 * k)) & 63])
-    out = np.empty(values.size * 2, dtype=acc.dtype)
-    out[0::2] = l0
-    out[1::2] = acc
-    return out, np.full(values.size, 2, dtype=np.int64)
+    l8 = np.empty((size, 9), dtype=np.uint8)
+    l8[:, 0] = ord("2")
+    for k in range(8):
+        l8[:, 1 + k] = _DIGIT_BYTES[(hi >> (6 * (7 - k))) & 63]
+    flat = np.empty(size * 2, dtype="S9")
+    flat[0::2] = l0.view("S2").ravel()
+    flat[1::2] = l8.view("S9").ravel()
+    arr = pa.array(flat)  # -> binary; cast to utf8 (pure ASCII)
+    return arr.cast(pa.string()), np.full(size, 2, dtype=np.int64)
+
+
+def _prefix0(arr: pa.Array) -> pa.Array:
+    """Prepend the string-term type prefix '0' (scalar broadcast — no
+    per-token Python objects)."""
+    return pa.compute.binary_join_element_wise(
+        pa.scalar("0", type=pa.string()), arr, pa.scalar("", type=pa.string())
+    )
 
 
 def _column_tokens(
@@ -100,10 +121,7 @@ def _column_tokens(
         toks = get_analyzer(analyzer_name)(col)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         counts = np.diff(offsets - offsets[0])
-        flat = pa.compute.binary_join_element_wise(
-            pa.array(["0"] * len(toks.values), type=pa.string()), toks.values, ""
-        )
-        return flat, counts, counts
+        return _prefix0(toks.values), counts, counts
     if kind == KIND_KEYWORD:
         if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
             offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -113,12 +131,7 @@ def _column_tokens(
             valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
             counts = valid.astype(np.int64)
             values = col.drop_null()
-        flat = pa.compute.binary_join_element_wise(
-            pa.array(["0"] * len(values), type=pa.string()),
-            pa.compute.cast(values, pa.string()),
-            "",
-        )
-        return flat, counts, None
+        return _prefix0(pa.compute.cast(values, pa.string())), counts, None
     if kind == KIND_NUMBER:
         if pa.types.is_timestamp(col.type):
             col = pa.compute.cast(col, pa.int64())
@@ -126,10 +139,10 @@ def _column_tokens(
             col = pa.compute.cast(pa.compute.floor(col), pa.int64())
         valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
         vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat_np, per_val = _number_terms_vectorized(vals)
+        flat, per_val = _number_terms_vectorized(vals)
         counts = np.zeros(n, dtype=np.int64)
         counts[valid] = per_val
-        return pa.array(flat_np, type=pa.string()), counts, None
+        return flat, counts, None
     if kind == KIND_BOOL:
         valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
         vals = col.drop_null().to_numpy(zero_copy_only=False)
@@ -277,13 +290,7 @@ def extract_postings(
             tcounts = np.diff(toffs - toffs[0])
             value_doc = np.repeat(np.arange(cnts.size, dtype=np.int64), cnts)
             all_docrep.append(np.repeat(value_doc, tcounts))
-            all_flat.append(
-                pa.compute.binary_join_element_wise(
-                    pa.array(["0"] * len(toks.values), type=pa.string()),
-                    toks.values,
-                    "",
-                )
-            )
+            all_flat.append(_prefix0(toks.values))
 
     if config.all_field and all_flat:
         flat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in all_flat])
