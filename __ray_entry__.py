@@ -201,6 +201,118 @@ def _q_events_window_hourly(sf_dir: str) -> Any:
     return t
 
 
+# ---- training-data ops (yaii_ray.ops) ------------------------------
+
+
+def _docs_ray_ds(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _q_dedup_exact(sf_dir: str) -> Any:
+    from yaii_ray.ops import dedup
+
+    surv = dedup.dedup_exact(_docs_ray_ds(sf_dir, ["doc_id", "text"])).to_pandas()
+    return surv[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_near_dup_jaccard(sf_dir: str) -> Any:
+    """Exact word-3-gram Jaccard near-dup pairs (tau=0.4) via the
+    inverted shingle index; SQL oracle recomputes all pairs."""
+    from yaii_ray.ops import dedup
+
+    got = dedup.near_dup_pairs_exact(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), tau=0.4
+    )
+    got["jaccard_r"] = got["jaccard"].round(6)
+    return got[["a", "b", "jaccard_r"]]
+
+
+def _q_near_dup_minhash(sf_dir: str) -> Any:
+    """MinHash+LSH near-dup pairs (rows-only check: LSH recall is
+    probabilistic so no SQL oracle; exactness of the verified scores is
+    covered by tests/test_ops.py)."""
+    from yaii_ray.ops import dedup
+
+    got = dedup.near_dup_pairs_minhash(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), tau=0.4
+    )
+    got["jaccard_r"] = got["jaccard"].round(6)
+    return got[["a", "b", "jaccard_r"]]
+
+
+def _q_simhash_pairs(sf_dir: str) -> Any:
+    """SimHash near-dup pairs at Hamming<=7 (rows-only check)."""
+    from yaii_ray.ops import dedup
+
+    return dedup.near_dup_pairs_simhash(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), max_hamming=7
+    )
+
+
+def _q_embed_cosine_pairs(sf_dir: str) -> Any:
+    import ray.data
+
+    from yaii_ray.ops import dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = dedup.embedding_cosine_pairs(ds, tau=0.2).to_pandas()
+    got["cosine_r"] = got["cosine"].round(6)
+    return got[["a", "b", "cosine_r"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str) -> Any:
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from yaii_ray.ops import ann
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 1)
+    qvec = np.asarray(q["embedding"][0].as_py(), dtype=np.float64)
+    got = ann.brute_topk(ds, qvec, k=10)
+    got["cosine_r"] = got["cosine"].round(6)
+    return got[["vec_id", "cosine_r"]]
+
+
+def _q_text_stats(sf_dir: str) -> Any:
+    from yaii_ray.ops import textstats
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: textstats.text_stats_batch(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["stopword_ratio_r"] = out["stopword_ratio"].round(6)
+    return out[["doc_id", "n_tokens", "stopword_ratio_r"]]
+
+
+def _q_doc_fingerprint(sf_dir: str) -> Any:
+    from yaii_ray.ops import textstats
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: textstats.fingerprint_batch(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "fp_md5"]]
+
+
+def _q_lang_id(sf_dir: str) -> Any:
+    """Heuristic language ID (rows-only: heuristic has no SQL twin)."""
+    from yaii_ray.ops import textstats
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: textstats.lang_id_batch(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "lang_guess"]]
+
+
 _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
@@ -211,6 +323,15 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_group_agg": _q_lineitem_group_agg,
     "events_sort_limit": _q_events_sort_limit,
     "events_window_hourly": _q_events_window_hourly,
+    "dedup_exact": _q_dedup_exact,
+    "near_dup_jaccard": _q_near_dup_jaccard,
+    "near_dup_minhash": _q_near_dup_minhash,
+    "simhash_pairs": _q_simhash_pairs,
+    "embed_cosine_pairs": _q_embed_cosine_pairs,
+    "ann_topk": _q_ann_topk,
+    "text_stats": _q_text_stats,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "lang_id": _q_lang_id,
 }
 
 
@@ -277,6 +398,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, hour""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id""",
+        "near_dup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              FOR i IN generate_series(1, len(t) - 2)])
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks WHERE len(t) > 0
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   round(len(list_intersect(x.s, y.s))::DOUBLE
+                         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard_r
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
+            ORDER BY a, b""",
+        "embed_cosine_pairs": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine_r
+            FROM v x JOIN v y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.emb, y.emb) >= 0.2
+            ORDER BY a, b""",
+        "ann_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.emb, q.emb), 6) AS cosine_r
+            FROM v e, (SELECT emb FROM v WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.emb, q.emb) DESC, e.vec_id
+            LIMIT 10""",
+        "text_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENIZE} AS t FROM documents
+            )
+            SELECT doc_id, len(t) AS n_tokens,
+                   round(len(list_filter(t, x -> x IN ({stop})))::DOUBLE
+                         / greatest(len(t), 1), 6) AS stopword_ratio_r
+            FROM toks""",
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5
+            FROM documents""",
     }
 
 

@@ -1,0 +1,239 @@
+"""Tests for dedup / ANN / textstats / multimodal operators against
+brute-force recomputation on small deterministic data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from yaii_ray.ops import ann, dedup, multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    base_docs = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.integers(0, 50, size=12)]
+        base_docs.append(words)
+        texts.append(" ".join(words))
+        ids.append(i)
+    # near-duplicates: copy docs 0..4 with one word changed
+    for k in range(5):
+        words = list(base_docs[k])
+        words[5] = "CHANGED"
+        texts.append(" ".join(words))
+        ids.append(40 + k)
+    # one exact duplicate of doc 7
+    texts.append(texts[7])
+    ids.append(45)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    return ray.data.from_arrow(t), t
+
+
+def _brute_jaccard_pairs(t: pa.Table, tau: float, n: int = 3) -> set:
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    def sh(s):
+        ts = s.lower().split()
+        if len(ts) >= n:
+            return {" ".join(ts[j:j+n]) for j in range(len(ts)-n+1)}
+        return {" ".join(ts)} if ts else set()
+    sets = [sh(s) for s in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i+1, len(ids)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_dedup_exact(docs_ds):
+    ds, t = docs_ds
+    surv = dedup.dedup_exact(ds).to_pandas().sort_values("doc_id")
+    # doc 45 is an exact copy of doc 7 -> dropped; everything else kept
+    assert set(surv["doc_id"]) == set(range(45))
+
+
+def test_near_dup_exact_jaccard(docs_ds):
+    ds, t = docs_ds
+    got = dedup.near_dup_pairs_exact(ds, tau=0.5)
+    want = _brute_jaccard_pairs(t, 0.5)
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_near_dup_minhash_lsh(docs_ds):
+    ds, t = docs_ds
+    got = dedup.near_dup_pairs_minhash(ds, tau=0.5, num_perm=128, bands=32, rows=4)
+    want = _brute_jaccard_pairs(t, 0.5)
+    # verified candidates are always TRUE positives; with 32 bands of 4
+    # rows, P(miss | J>=0.5) ≈ (1-0.5^4)^32 ≈ 0.13 per pair — on this
+    # corpus the planted near-dups have J≈0.8 (miss ≈ 3e-6), assert
+    # exact recovery
+    assert set(zip(got["a"], got["b"])) == want
+    # scores agree with exact computation
+    exact = dedup.near_dup_pairs_exact(ds, tau=0.5)
+    m = {(a, b): j for a, b, j in zip(exact["a"], exact["b"], exact["jaccard"])}
+    for a, b, j in zip(got["a"], got["b"], got["jaccard"]):
+        assert m[(a, b)] == j
+
+
+def test_simhash_near_dups(docs_ds):
+    ds, t = docs_ds
+    pairs = dedup.near_dup_pairs_simhash(ds, max_hamming=10)
+    got = set(zip(pairs["a"], pairs["b"]))
+    # the exact duplicate pair must be found at distance 0
+    assert (7, 45) in got
+    z = pairs[(pairs["a"] == 7) & (pairs["b"] == 45)]
+    assert int(z["hamming"].iloc[0]) == 0
+    # verify every reported distance against direct recomputation
+    sig = dedup.simhash_batch(t).to_pandas().set_index("doc_id")["simhash"]
+    for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"]):
+        x = np.uint64(sig[a]) ^ np.uint64(sig[b])
+        assert bin(int(x)).count("1") == h
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    # three planted near-dup rows of vectors 0..2
+    extra = base[:3] + rng.standard_normal((3, 16)) * 0.01
+    mat = np.concatenate([base, extra]).astype(np.float32)
+    ids = np.arange(mat.shape[0], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), 16
+            ),
+        }
+    )
+    return ray.data.from_arrow(t), mat, ids
+
+
+def test_embedding_cosine_pairs(emb_ds):
+    ds, mat, ids = emb_ds
+    got = dedup.embedding_cosine_pairs(ds, tau=0.99).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    M = mat.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.99
+    }
+    assert pairs == want
+    assert {(30, 31, 32) != ()}  # planted dups present
+    assert all((int(a), int(b)) in want for a, b in pairs)
+
+
+def test_brute_topk_matches_numpy(emb_ds):
+    ds, mat, ids = emb_ds
+    q = mat[0]
+    got = ann.brute_topk(ds, q, k=5)
+    M = mat.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = M @ qn
+    order = np.lexsort((ids, -sims))[:5]
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    # matmul association order differs between (nq,d)@(d,N) and
+    # (N,d)@(d,) — allow BLAS-level float noise only
+    np.testing.assert_allclose(got["cosine"].to_numpy(), sims[order], rtol=1e-6)
+
+
+def test_ivf_recall(emb_ds):
+    ds, mat, ids = emb_ds
+    idx = ann.IVFIndex(nlist=4, iters=5).fit(ds)
+    qs = mat[:5]
+    brute = ann.brute_topk(ds, qs, k=5)
+    # full probe = exact
+    full = idx.search(qs, k=5, nprobe=4)
+    for qi in range(5):
+        b = brute[brute["query"] == qi]["vec_id"].tolist()
+        f = full[full["query"] == qi]["vec_id"].tolist()
+        assert b == f
+    # partial probe: planted near-dup of q0 (vec 30) must be found
+    part = idx.search(mat[:1], k=3, nprobe=1)
+    assert 30 in part["vec_id"].tolist()
+
+
+def test_text_stats(docs_ds, ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["the quick brown fox", "a a a the of", ""],
+        }
+    )
+    out = textstats.text_stats_batch(t).to_pandas()
+    assert out["n_tokens"].tolist() == [4, 5, 1]  # "" -> one empty token
+    assert out["stopword_ratio"][0] == 0.25
+    assert out["stopword_ratio"][1] == 1.0
+    lang = textstats.lang_id_batch(
+        pa.table({"text": ["the cat and the dog of it", "le chat et la maison est dans", "xyzzy plugh"]})
+    )
+    assert lang["lang_guess"].to_pylist() == ["en", "fr", "und"]
+    fp = textstats.fingerprint_batch(
+        pa.table({"text": ["Hello   World", "hello world", "different"]})
+    ).to_pandas()
+    assert fp["fp_md5"][0] == fp["fp_md5"][1]  # whitespace/case-insensitive
+    assert fp["fp_md5"][0] != fp["fp_md5"][2]
+    assert fp["fp_roll"][0] == fp["fp_roll"][1]
+
+
+def test_multimodal_image_pipeline(ray_session):
+    import ray.data
+
+    payloads = [multimodal.encode_fake_image(16, 8, seed=s) for s in range(6)]
+    t = pa.table(
+        {
+            "img_id": pa.array(range(6), type=pa.int64()),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = (
+        ds.map_batches(multimodal.ImageDecode, batch_size=2, concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("img_id")
+    )
+    assert out["width"].tolist() == [16] * 6
+    assert out["height"].tolist() == [8] * 6
+    pix0 = np.frombuffer(payloads[0], np.uint8, 16 * 8, 8)
+    assert out["mean_luma"].iloc[0] == pytest.approx(pix0.mean())
+
+    feats = ds.map_batches(multimodal.ImageResizeFeature, batch_size=3, concurrency=2, batch_format="pyarrow").to_pandas()
+    assert len(feats["feature"].iloc[0]) == 64
+
+    audio = pa.table(
+        {
+            "aud_id": pa.array([0, 1], type=pa.int64()),
+            "audio": pa.array(
+                [multimodal.encode_fake_audio(16000, 5000, seed=s) for s in range(2)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    aout = (
+        ray.data.from_arrow(audio)
+        .map_batches(multimodal.AudioFrameSample(stride=500, max_frames=4), batch_size=1, concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("aud_id")
+    )
+    assert aout["rate"].tolist() == [16000, 16000]
+    assert all(len(f) == 4 for f in aout["frames"])

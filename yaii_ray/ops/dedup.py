@@ -1,0 +1,431 @@
+"""Deduplication operators over a text (or embedding) column.
+
+Scale shapes (ray_guide "Aggregation at scale" / LSH pattern):
+
+- exact:      content hash per batch -> ``groupby(hash)`` -> keep the
+              min-id row per group. One shuffle on the hash key.
+- MinHash-LSH: shingle -> minhash signature per batch (vectorized,
+              deterministic) -> explode to (band, band_hash, doc)
+              rows -> ``groupby(band, band_hash)`` -> candidate pairs
+              -> exact-Jaccard verify. Hot buckets are inherently
+              bounded by banding; candidate verification is the only
+              quadratic step and runs per bucket.
+- n-gram Jaccard (exact): inverted shingle index -> pairs sharing a
+              shingle -> verify. Exact (any pair with J >= tau > 0
+              shares a shingle) but quadratic in hot-shingle buckets —
+              use for oracle-sized data; MinHash-LSH is the scale path.
+- SimHash:    64-bit signature; near-dups = Hamming distance <= t,
+              bucketed by masking bit-bands (pigeonhole over t+1
+              bands guarantees recall 1.0 for distance <= t).
+- embedding:  cosine >= tau pairs via blocked matmul against a
+              broadcast matrix (small side) — the brute path; ANN
+              bucketing (ops/ann.py) is the scale path.
+
+All hashing is deterministic across processes (pandas.util.hash_array
+with its fixed key; md5 for content hashes), so resumed/distributed
+runs agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from yaii_ray.analysis.tokenizer import tokenize_strings
+
+MERSENNE = (1 << 61) - 1
+
+
+def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append md5 hex of the raw column (exact-dup key). md5 chosen so
+    the DuckDB oracle (``md5(text)``) is bit-identical."""
+    vals = batch[col].to_pylist()
+    hashes = [
+        hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals
+    ]
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+
+def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: keep the smallest-id row per distinct content.
+    Returns the surviving rows' dataset (original columns)."""
+    import pandas as _pd
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, col), batch_format="pyarrow"
+    )
+
+    def first(g: _pd.DataFrame) -> _pd.DataFrame:
+        return g.sort_values(id_col, kind="stable").head(1).drop(columns=["content_hash"])
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+
+# ---- shingling + deterministic hashing ------------------------------
+
+
+def _shingle_hashes(texts: list[str | None], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle SETS per doc -> (u64 hash array, per-doc
+    counts). Deterministic (pandas hash_array fixed key)."""
+    toks = [t.split() if t else [] for t in (x.lower() if x else x for x in texts)]
+    all_shingles: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, ts in enumerate(toks):
+        if len(ts) >= n:
+            sh = {" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)}
+        elif ts:
+            sh = {" ".join(ts)}
+        else:
+            sh = set()
+        counts[i] = len(sh)
+        all_shingles.extend(sorted(sh))
+    if all_shingles:
+        hashes = pd.util.hash_array(np.asarray(all_shingles, dtype=object))
+    else:
+        hashes = np.zeros(0, dtype=np.uint64)
+    return hashes.astype(np.uint64), counts
+
+
+def minhash_batch(
+    batch: pa.Table,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    ngram: int = 3,
+    seed: int = 7,
+) -> pa.Table:
+    """-> (id_col, sig: fixed_size_list<uint64>[num_perm]) MinHash
+    signatures, fully vectorized: one (shingles x num_perm) universal
+    hash then segmented min per doc."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    hashes, counts = _shingle_hashes(batch[col].to_pylist(), n=ngram)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    sigs = np.full((len(ids), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hashes.size:
+        # (S, P) universal hash in uint64 modular arithmetic (python
+        # ints via object would be slow; use uint64 wraparound * then
+        # mod — wraparound is fine: it is still a deterministic hash
+        # family, just not a textbook universal one)
+        hv = (hashes[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        nonempty = counts > 0
+        mins = np.minimum.reduceat(hv, starts[nonempty], axis=0)
+        sigs[nonempty] = mins
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), type=pa.uint64()), num_perm
+            ),
+        }
+    )
+
+
+def lsh_band_rows(
+    batch: pa.Table, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+) -> pa.Table:
+    """Signature table -> exploded (band, band_hash, id) rows for the
+    ``groupby((band, band_hash))`` bucketing shuffle."""
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    n = len(batch)
+    num_perm = sig.type.list_size
+    assert bands * rows <= num_perm
+    flat = sig.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    out_ids = np.tile(ids, bands)
+    bh = np.empty((bands, n), dtype=np.uint64)
+    for bi in range(bands):
+        seg = flat[:, bi * rows : (bi + 1) * rows]
+        acc = np.zeros(n, dtype=np.uint64)
+        for r in range(rows):
+            acc = acc * np.uint64(1099511628211) + seg[:, r]
+        bh[bi] = acc
+    return pa.table(
+        {
+            "band": pa.array(out_band),
+            "band_hash": pa.array(bh.ravel(), type=pa.uint64()),
+            id_col: pa.array(out_ids),
+        }
+    )
+
+
+def candidate_pairs_from_buckets(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """One LSH bucket -> all unordered id pairs."""
+    ids = np.sort(np.unique(g[id_col].to_numpy()))
+    if ids.size < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    ai, bi = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+
+def jaccard_pairs_exact(
+    table: pa.Table,
+    pairs: pd.DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    tau: float = 0.5,
+) -> pd.DataFrame:
+    """Verify candidate pairs with exact set Jaccard over word n-gram
+    shingles. ``table`` must contain every referenced id."""
+    ids = table[id_col].to_numpy(zero_copy_only=False)
+    texts = table[col].to_pylist()
+    hashes, counts = _shingle_hashes(texts, n=ngram)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    by_id = {int(i): (int(starts[k]), int(starts[k + 1])) for k, i in enumerate(ids)}
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        sa, ea = by_id[int(a)]
+        sb, eb = by_id[int(b)]
+        A, B = hashes[sa:ea], hashes[sb:eb]
+        if not len(A) or not len(B):
+            continue
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        union = len(A) + len(B) - inter
+        j = inter / union if union else 0.0
+        if j >= tau:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(j)
+    return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+
+def near_dup_pairs_minhash(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    ngram: int = 3,
+):
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
+    Returns a pandas DataFrame (a, b, jaccard), a < b, sorted.
+
+    The scale path end-to-end: signatures and band rows are per-batch
+    map_batches; bucketing is ONE groupby shuffle; verification
+    re-reads only the docs appearing in candidates."""
+    sigs = ds.map_batches(
+        lambda t: minhash_batch(t, col, id_col, num_perm, ngram),
+        batch_format="pyarrow",
+    )
+    band_rows = sigs.map_batches(
+        lambda t: lsh_band_rows(t, id_col, bands, rows), batch_format="pyarrow"
+    )
+    cands = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.drop_duplicates().reset_index(drop=True)
+    if not len(cands):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    need = np.unique(np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()]))
+    table = _gather_rows(ds, id_col, need, [id_col, col])
+    out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def near_dup_pairs_exact(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    ngram: int = 3,
+):
+    """EXACT n-gram-Jaccard near-dup pairs via an inverted shingle
+    index (complete: J >= tau > 0 implies a shared shingle). Quadratic
+    in hot-shingle bucket size — oracle/verification path; prefer
+    :func:`near_dup_pairs_minhash` at scale."""
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hashes, counts = _shingle_hashes(b[col].to_pylist(), n=ngram)
+        return pa.table(
+            {
+                "shingle": pa.array(hashes, type=pa.uint64()),
+                id_col: pa.array(np.repeat(ids, counts)),
+            }
+        )
+
+    cands = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    if not len(cands):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    need = np.unique(np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()]))
+    table = _gather_rows(ds, id_col, need, [id_col, col])
+    out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---- SimHash --------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash over whitespace-lowered tokens (deterministic)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = [(t or "").lower().split() for t in batch[col].to_pylist()]
+    counts = np.array([len(t) for t in texts], dtype=np.int64)
+    flat = [w for ts in texts for w in ts]
+    sig = np.zeros(len(ids), dtype=np.uint64)
+    if flat:
+        h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        bits = bits * 2 - 1  # +1 / -1 votes
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        nonempty = counts > 0
+        votes = np.add.reduceat(bits, starts[nonempty], axis=0)
+        packed = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        sig[nonempty] = packed.sum(axis=1, dtype=np.uint64)
+    return pa.table({id_col: pa.array(ids), "simhash": pa.array(sig, type=pa.uint64())})
+
+
+def near_dup_pairs_simhash(
+    ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+):
+    """SimHash near-dups: pairs with Hamming(sig_a, sig_b) <= t.
+    Bucketed by each of t+1 16-bit bands (pigeonhole: any pair within
+    distance t agrees on at least one band), verified exactly."""
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    sigs = ds.map_batches(lambda b: simhash_batch(b, col, id_col), batch_format="pyarrow")
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        sh = b["simhash"].to_numpy(zero_copy_only=False)
+        outs = []
+        for bi in range(bands):
+            band_val = (sh >> np.uint64(bi * width)) & np.uint64((1 << width) - 1)
+            outs.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), bi, dtype=np.int32)),
+                        "band_hash": pa.array(band_val, type=pa.uint64()),
+                        id_col: pa.array(ids),
+                        "simhash": pa.array(sh, type=pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ai, bi = np.triu_indices(ids.size, k=1)
+        ham = _popcount64(sh[ai] ^ sh[bi])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pairs
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 lacks bitwise_count)."""
+    return (
+        np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+# ---- embedding near-dup --------------------------------------------
+
+
+def embedding_cosine_pairs(ds, tau: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """All pairs with cosine similarity >= tau. Brute path: the full
+    normalized matrix is broadcast once (``ray.put``) and each batch
+    does one matmul against it — exact, O(N^2) compute but streaming
+    memory. Scale path: pre-bucket with ops/ann.py IVF and run this
+    within buckets."""
+    import ray
+
+    mat, ids = _embedding_matrix(ds, id_col, vec_col)
+    ref = ray.put((mat, ids))
+
+    def batch_pairs(b: pa.Table) -> pa.Table:
+        M, all_ids = ray.get(ref)
+        bids = b[id_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_vec_matrix(b[vec_col]))
+        sims = V @ M.T
+        rows, cols = np.nonzero(sims >= tau)
+        a = bids[rows]
+        bcol = all_ids[cols]
+        keep = a < bcol  # unordered pairs once; drops self-pairs
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(bcol[keep]),
+                "cosine": pa.array(sims[rows, cols][keep].astype(np.float64)),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def _vec_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0])
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _embedding_matrix(ds, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    parts = [
+        ( _vec_matrix(b[vec_col]), b[id_col].to_numpy(zero_copy_only=False) )
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    mat = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    return _normalize(mat), ids
+
+
+def _gather_rows(ds, id_col: str, ids: np.ndarray, columns: list[str]) -> pa.Table:
+    """Collect the rows whose id is in ``ids`` (broadcast membership
+    filter; result assumed small — candidate sets)."""
+    import ray
+
+    ref = ray.put(np.sort(ids))
+
+    def keep(b: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        got = b[id_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(want, got)
+        idx[idx == want.size] = 0
+        return b.select(columns).filter(pa.array(want[idx] == got))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(out) if out else pa.table({c: [] for c in columns})

@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data curation.
+
+All vectorized per batch; the engine tokenizer (reference semantics)
+is reused so statistics agree with the index.
+
+- :func:`text_stats_batch` — token count, char count, stopword ratio,
+  punctuation ratio, mean token length, a composite quality score.
+- :func:`lang_id_batch` — n-gram/stopword-hit heuristic language ID
+  over small built-in function-word lists (en/fr/de/es) — deterministic,
+  no model download.
+- :func:`fingerprint_batch` — document fingerprint: md5 of the
+  normalized token stream (whitespace-insensitive exact dedup key,
+  SQL-reproducible), plus a 64-bit rolling polynomial hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from yaii_ray.analysis.tokenizer import STOPWORDS, tokenize_strings
+
+_PUNCT = set(",.;:!?-—'\"()[]{}")
+
+_FUNCTION_WORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "his", "they", "at"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "en", "que", "une", "dans", "pour", "qui", "pas"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "auf", "sich", "auch"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "en", "que", "una", "por", "con", "para", "del"},
+}
+
+
+def text_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_tokens / n_chars_text / stopword_ratio / punct_ratio /
+    mean_token_len / quality columns (float64, deterministic)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = tokenize_strings(arr, stopwords=False)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    counts = np.diff(offsets - base)
+    flat = toks.values
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    is_stop = pc.is_in(
+        flat, value_set=pa.array(sorted(STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    starts = (offsets - base)[:-1]
+    nonzero = counts > 0
+    stop_cnt = np.zeros(len(counts), dtype=np.int64)
+    len_sum = np.zeros(len(counts), dtype=np.int64)
+    if flat_len.size:
+        stop_cnt[nonzero] = np.add.reduceat(is_stop.astype(np.int64), starts[nonzero])
+        len_sum[nonzero] = np.add.reduceat(flat_len, starts[nonzero])
+    # empty-string tokens (JS-split artifacts) count as tokens, like
+    # the reference tokenizer emits them
+    texts = pc.fill_null(arr, "").to_pylist()
+    nchars = np.array([len(t) for t in texts], dtype=np.int64)
+    npunct = np.array([sum(c in _PUNCT for c in t) for t in texts], dtype=np.int64)
+    safe = np.maximum(counts, 1)
+    stop_ratio = stop_cnt / safe
+    punct_ratio = npunct / np.maximum(nchars, 1)
+    mean_len = len_sum / safe
+    # composite quality: in-range length, some stopwords (natural
+    # language), low punctuation density — each term in [0, 1]
+    len_ok = np.clip(counts, 0, 100) / 100.0
+    stop_ok = np.clip(stop_ratio * 3.0, 0.0, 1.0)
+    punct_ok = 1.0 - np.clip(punct_ratio * 5.0, 0.0, 1.0)
+    quality = (len_ok + stop_ok + punct_ok) / 3.0
+    out = batch
+    for name, vals in [
+        ("n_tokens", counts),
+        ("stopword_ratio", stop_ratio),
+        ("punct_ratio", punct_ratio),
+        ("mean_token_len", mean_len),
+        ("quality", quality),
+    ]:
+        out = out.append_column(
+            name,
+            pa.array(vals.astype(np.float64) if vals.dtype != np.int64 else vals),
+        )
+    return out
+
+
+def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``lang_guess``: argmax function-word hit rate (ties ->
+    'und'). Deterministic heuristic, no external model."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    langs = sorted(_FUNCTION_WORDS)
+    guesses = []
+    for text in pc.fill_null(arr, "").to_pylist():
+        words = text.lower().split()
+        if not words:
+            guesses.append("und")
+            continue
+        scores = [sum(w in _FUNCTION_WORDS[L] for w in words) for L in langs]
+        best = max(scores)
+        if best == 0 or scores.count(best) > 1:
+            guesses.append("und")
+        else:
+            guesses.append(langs[int(np.argmax(scores))])
+    return batch.append_column("lang_guess", pa.array(guesses, type=pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``fp_md5`` (md5 hex of lowercased whitespace-normalized
+    token join — SQL: ``md5(array_to_string(tokens, ' '))``) and
+    ``fp_roll`` (64-bit deterministic hash of the same stream —
+    pandas hash_array, fixed key)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    norms = [" ".join(t.lower().split()) for t in pc.fill_null(arr, "").to_pylist()]
+    md5s = [hashlib.md5(n.encode("utf-8")).hexdigest() for n in norms]
+    import pandas as pd
+
+    rolls = pd.util.hash_array(np.asarray(norms, dtype=object)).astype(np.uint64)
+    return batch.append_column("fp_md5", pa.array(md5s, type=pa.string())).append_column(
+        "fp_roll", pa.array(rolls, type=pa.uint64())
+    )
