@@ -89,8 +89,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # untimed: corpus generation (cached) + page-cache warm read
-    src = transcripts_path(n_turns)
+    # untimed: corpus generation (cached) + page-cache warm read.
+    # 16k-row groups let the unit planner split finely at high CPU
+    # counts (units are row-group aligned).
+    src = transcripts_path(n_turns, row_group_size=16_384)
     for f in sorted(os.listdir(src)):
         if f.endswith(".parquet"):
             with open(os.path.join(src, f), "rb") as fh:
@@ -102,8 +104,10 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     cfg = transcripts_config(num_shards=min(ncpu, 16))
     cfg.chunk_shift = 16
+    # units sized so every worker gets several tasks at this CPU count
+    unit_rows = max(16_384, n_turns // (ncpu * 3))
     t0 = time.monotonic()
-    build_index(src, idx_dir, cfg, target_unit_rows=65_536)
+    build_index(src, idx_dir, cfg, target_unit_rows=unit_rows)
     timings["build"] = round(time.monotonic() - t0, 3)
 
     # 2. BM25 top-10 latency (p50 over a fixed query mix)

@@ -114,6 +114,47 @@ _REGISTRY: dict[str, AnalyzerFn] = {
 }
 
 
+def make_regex_rules_analyzer(
+    rules: list[tuple[str, str]], lowercase: set[str] | None = None
+) -> AnalyzerFn:
+    """moo-style rule lexer (reference ``moo-tokenizer.ts:6-22``; usage
+    ``performance-ssb.ts:109-115``): an ordered list of (name, pattern)
+    rules compiled into one alternation; each match emits its text as a
+    token, lowercased when the rule name is in ``lowercase``. Rules
+    named '_' (or matching nothing useful, e.g. whitespace) are
+    dropped. Register the result with :func:`register_analyzer` and
+    reference it from a FieldConfig — it runs inside the tokenize
+    map_batches stage like any built-in analyzer.
+
+    Python-regex per value (custom lexers are an extension point, not
+    the bulk path — the bulk path is the Arrow-kernel standard
+    analyzer).
+    """
+    pattern = re.compile(
+        "|".join(f"(?P<{name}>{pat})" for name, pat in rules)
+    )
+    lower = lowercase or set()
+
+    def analyze(arr: pa.Array) -> pa.ListArray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        tokens: list[str] = []
+        offsets = [0]
+        for v in pc.fill_null(arr, "").to_pylist():
+            for m in pattern.finditer(v):
+                name = m.lastgroup
+                if name == "_":
+                    continue
+                tok = m.group(0)
+                tokens.append(tok.lower() if name in lower else tok)
+            offsets.append(len(tokens))
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(tokens, type=pa.string())
+        )
+
+    return analyze
+
+
 def register_analyzer(name: str, fn: AnalyzerFn) -> None:
     """User-extension surface (reference ``src/lib/api/config.ts:27``):
     a custom analyzer is a callable string-array → list<string>-array,
@@ -123,3 +164,27 @@ def register_analyzer(name: str, fn: AnalyzerFn) -> None:
 
 def get_analyzer(name: str) -> AnalyzerFn:
     return _REGISTRY[name]
+
+
+def analyzer_from_spec(spec: dict) -> AnalyzerFn:
+    """Build an analyzer from a JSON-able spec — the form that travels
+    inside IndexConfig to build workers (a bare Python callable
+    registered on the driver would not exist in worker processes).
+
+    Specs: ``{"type": "regex_rules", "rules": [[name, pattern], ...],
+    "lowercase": [rule names]}``.
+    """
+    if spec["type"] == "regex_rules":
+        return make_regex_rules_analyzer(
+            [tuple(r) for r in spec["rules"]], set(spec.get("lowercase", []))
+        )
+    raise ValueError(f"unknown analyzer spec type {spec['type']!r}")
+
+
+def ensure_analyzers(specs: dict[str, dict]) -> None:
+    """Register config-carried analyzer specs in this process (no-op
+    for already-registered names). Called by build/query stages on
+    entry so worker processes agree with the driver."""
+    for name, spec in specs.items():
+        if name not in _REGISTRY:
+            _REGISTRY[name] = analyzer_from_spec(spec)

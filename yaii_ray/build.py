@@ -105,11 +105,25 @@ def build_index(
     for si, seg_units in enumerate(segments):
         seg_name = f"seg-{si:03d}"
         seg_manifest_path = os.path.join(index_dir, f"{seg_name}.manifest.json")
+        planned_units = [
+            {"unit": u["unit"], "path": u["path"], "rows": u["rows"],
+             "doc_base": u["doc_base"]}
+            for u in seg_units
+        ]
         if os.path.exists(seg_manifest_path):
             with open(seg_manifest_path) as f:
-                seg_manifests.append(json.load(f))
-            metrics["segments"].append({"segment": seg_name, "skipped": True})
-            continue
+                prev = json.load(f)
+            if prev.get("units") == planned_units:
+                seg_manifests.append(prev)
+                metrics["segments"].append({"segment": seg_name, "skipped": True})
+                continue
+            # incremental append can reshape the trailing segment —
+            # its old outputs are stale; wipe and rebuild this segment
+            os.remove(seg_manifest_path)
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(index_dir, "docs", seg_name), ignore_errors=True)
+            _shutil.rmtree(os.path.join(index_dir, "postings", seg_name), ignore_errors=True)
         t0 = time.monotonic()
         docs_dir = os.path.join(index_dir, "docs", seg_name)
         postings_dir = os.path.join(index_dir, "postings", seg_name)
@@ -141,11 +155,7 @@ def build_index(
             "segment": seg_name,
             "doc_lo": int(seg_units[0]["doc_base"]),
             "doc_hi": int(seg_units[-1]["doc_base"] + seg_units[-1]["rows"]),
-            "units": [
-                {"unit": u["unit"], "path": u["path"], "rows": u["rows"],
-                 "doc_base": u["doc_base"]}
-                for u in seg_units
-            ],
+            "units": planned_units,
             "docs_files": [
                 os.path.join(docs_dir, f"part-u{u['unit']:06d}.parquet")
                 for u in seg_units

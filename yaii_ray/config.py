@@ -69,6 +69,9 @@ class FieldConfig:
 @dataclass
 class IndexConfig:
     fields: dict[str, FieldConfig] = field(default_factory=dict)
+    # JSON-able custom-analyzer specs (tokenizer.analyzer_from_spec) —
+    # shipped to build workers so the registry agrees across processes
+    analyzers: dict[str, dict] = field(default_factory=dict)
     # default config applied to fields seen in the data but not declared
     # (reference: defaultFieldConfig lazily applied,
     # mutable-segment.ts:84-92)
@@ -92,6 +95,7 @@ class IndexConfig:
     def to_json(self) -> dict:
         return {
             "fields": {k: v.to_json() for k, v in self.fields.items()},
+            "analyzers": self.analyzers,
             "default": self.default.to_json(),
             "all_field": self.all_field,
             "all_analyzer": self.all_analyzer,
@@ -107,6 +111,7 @@ class IndexConfig:
     def from_json(d: dict) -> "IndexConfig":
         return IndexConfig(
             fields={k: FieldConfig.from_json(v) for k, v in d["fields"].items()},
+            analyzers=d.get("analyzers", {}),
             default=FieldConfig.from_json(d["default"]),
             all_field=d["all_field"],
             all_analyzer=d["all_analyzer"],

@@ -33,6 +33,10 @@ from yaii_ray.stages.termize import KEY_SEP
 
 
 class Index:
+    # above this many matches, sorted-limit queries switch to the
+    # distributed two-phase top-k instead of a driver-side sort
+    topk_scan_threshold = 10_000
+
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -201,15 +205,32 @@ class Index:
         fetch = columns
         if columns is not None and sort:
             fetch = list(dict.fromkeys(columns + [c.field for c in sort]))
-        rows = self.project(docs, columns=fetch)
-        if sort:
-            rows = sort_table(rows, sort)
-            if limit is not None:
-                rows = rows.slice(0, limit)
-            if columns is not None:
-                rows = rows.select(
-                    ["doc_id"] + [c for c in columns if c != "doc_id"]
-                )
+        # two-phase top-k (reference K2, base-inverted-index.ts:430-467):
+        # when a sorted limit is requested over a large match set, run
+        # per-block local top-k over the docs Dataset and only ship
+        # ≤ k × n_blocks rows to the driver for the final merge.
+        if sort and limit is not None and docs.size > self.topk_scan_threshold:
+            ds = self.docs_dataset(columns=fetch, doc_ids=docs)
+            k = limit
+
+            def local_topk(b, sort=sort, k=k):
+                if not len(b):
+                    return b
+                return sort_pandas(b, sort).head(k)
+
+            parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+            rows = pa.Table.from_pandas(
+                sort_pandas(parts, sort).head(k).reset_index(drop=True),
+                preserve_index=False,
+            )
+        else:
+            rows = self.project(docs, columns=fetch)
+            if sort:
+                rows = sort_table(rows, sort)
+                if limit is not None:
+                    rows = rows.slice(0, limit)
+        if sort and columns is not None:
+            rows = rows.select(["doc_id"] + [c for c in columns if c != "doc_id"])
         return rows
 
     # ---- dataset view (scalable scan path) -------------------------
@@ -291,12 +312,7 @@ def plan(query: dsl.Query) -> ir.Exp:
     return ir.build_expression(query)
 
 
-def sort_table(table: pa.Table, clauses: list[dsl.SortClause]) -> pa.Table:
-    """Multi-clause stable sort with the reference's null semantics:
-    missing values are smallest (undefined < everything,
-    ``utils.ts:122-184``), so DESC puts them last. ICU collation is
-    approximated by codepoint order (SURVEY.md §7 known risk)."""
-    df = table.to_pandas()
+def sort_pandas(df, clauses: list[dsl.SortClause]):
     for cl in reversed(clauses):
         df = df.sort_values(
             cl.field,
@@ -304,4 +320,13 @@ def sort_table(table: pa.Table, clauses: list[dsl.SortClause]) -> pa.Table:
             na_position=("first" if cl.dir == dsl.ASC else "last"),
             kind="stable",
         )
+    return df
+
+
+def sort_table(table: pa.Table, clauses: list[dsl.SortClause]) -> pa.Table:
+    """Multi-clause stable sort with the reference's null semantics:
+    missing values are smallest (undefined < everything,
+    ``utils.ts:122-184``), so DESC puts them last. ICU collation is
+    approximated by codepoint order (SURVEY.md §7 known risk)."""
+    df = sort_pandas(table.to_pandas(), clauses)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

@@ -102,6 +102,19 @@ def not_query(operand: Query) -> Not:
     return Not(operand)
 
 
+@dataclass(frozen=True)
+class Cached(Query):
+    """Named filter whose resolved doc set is memoized per shard
+    (reference ``CachedFilter``, cached-filter.ts:10-41)."""
+
+    name: str
+    operand: Query
+
+
+def cached(name: str, operand: Query) -> Cached:
+    return Cached(name, operand)
+
+
 # Sorting ------------------------------------------------------------
 ASC = "asc"
 DESC = "desc"

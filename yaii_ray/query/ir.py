@@ -103,6 +103,26 @@ class TermRangeExp(Exp):
         return hash((self.field, self.lo, self.hi))
 
 
+class CachedExp(Exp):
+    """Named sub-expression; shards memoize its resolved doc set
+    (reference ``£_FILTER_CACHE`` / cached-filter.ts:10-41)."""
+
+    __slots__ = ("name", "inner")
+
+    def __init__(self, name: str, inner: Exp):
+        self.name = name
+        self.inner = inner
+
+    def __repr__(self):
+        return f"cached[{self.name}]({self.inner!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, CachedExp) and self.name == other.name
+
+    def __hash__(self):
+        return hash(("CACHED", self.name))
+
+
 class BoolExp(Exp):
     def __init__(self, should=None, must=None, must_not=None):
         self.should = list(should or [])
@@ -265,6 +285,11 @@ def _build(query: dsl.Query) -> Exp:
         return BoolExp(must=[TermExp(f, l0), TermExp(f, l8)])
     if isinstance(query, dsl.Present):
         return TermExp(FIELD_PRESENCE, T.string_to_term(query.field))
+    if isinstance(query, dsl.Cached):
+        inner = _build(query.operand)
+        if isinstance(inner, BoolExp):
+            inner = inner.rewrite()
+        return CachedExp(query.name, inner)
     if isinstance(query, dsl.NumberRange):
         scan, lo_edge, hi_edge = T.number_range_plan(
             query.min, query.max, query.min_inclusive, query.max_inclusive

@@ -69,6 +69,7 @@ class ShardState:
         self.df = t["df"].to_numpy() if t.num_rows else np.zeros(0, np.int64)
         self.table = t
         self._decoded: dict[int, tuple] = {}
+        self._filter_cache: dict[str, np.ndarray] = {}
         self._doc_ids: np.ndarray | None = None
 
     # ---- term dictionary ------------------------------------------
@@ -153,6 +154,12 @@ class ShardState:
             return np.zeros(0, dtype=np.uint64)
         if isinstance(exp, ir.TermExp):
             return self.term_postings(exp.field, exp.term)[0]
+        if isinstance(exp, ir.CachedExp):
+            hit = self._filter_cache.get(exp.name)
+            if hit is None:
+                hit = self.resolve(exp.inner)
+                self._filter_cache[exp.name] = hit
+            return hit
         if isinstance(exp, ir.TermRangeExp):
             lo, hi = self._key_range_span(
                 exp.field + KEY_SEP + exp.lo, exp.field + KEY_SEP + exp.hi

@@ -93,7 +93,10 @@ class BuildPartials:
     :func:`build_partials_batch` with batch_size=1."""
 
     def __init__(self, config_json: dict, docs_dir: str, num_buckets: int):
+        from yaii_ray.analysis.tokenizer import ensure_analyzers
+
         self.config = IndexConfig.from_json(config_json)
+        ensure_analyzers(self.config.analyzers)
         self.docs_dir = docs_dir
         self.num_buckets = num_buckets
 

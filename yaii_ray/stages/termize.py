@@ -117,6 +117,22 @@ def _column_tokens(
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    # value-type routing for default-configured fields (reference
+    # valueTermizer, base-inverted-index.ts:170-218): a non-string
+    # column under the default TEXT config is termized by its type
+    if kind == KIND_TEXT and not (
+        pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    ):
+        if pa.types.is_boolean(col.type):
+            kind = KIND_BOOL
+        elif (
+            pa.types.is_integer(col.type)
+            or pa.types.is_floating(col.type)
+            or pa.types.is_timestamp(col.type)
+        ):
+            kind = KIND_NUMBER
+        else:
+            kind = KIND_KEYWORD
     if kind == KIND_TEXT:
         toks = get_analyzer(analyzer_name)(col)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -139,8 +155,16 @@ def _column_tokens(
             col = pa.compute.cast(pa.compute.floor(col), pa.int64())
         valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
         vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, per_val = _number_terms_vectorized(vals)
+        # unsafe integers (|v| > 2^53-1) are dropped, like the
+        # reference's flatten does at indexing (utils.ts:111-116)
+        safe = np.abs(vals) <= terms_mod.MAX_SAFE_INTEGER
         counts = np.zeros(n, dtype=np.int64)
+        if not safe.all():
+            idx = np.flatnonzero(valid)
+            valid = valid.copy()
+            valid[idx[~safe]] = False
+            vals = vals[safe]
+        flat, per_val = _number_terms_vectorized(vals)
         counts[valid] = per_val
         return flat, counts, None
     if kind == KIND_BOOL:
