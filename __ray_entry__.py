@@ -313,6 +313,119 @@ def _q_lang_id(sf_dir: str) -> Any:
     return out[["doc_id", "lang_guess"]]
 
 
+def _q_join_orders_customer(sf_dir: str) -> Any:
+    """Broadcast join (dimension table shipped once via ray.put) +
+    grouped aggregate."""
+    import pyarrow.parquet as _pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from yaii_ray.ops import joins
+
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    joined = joins.broadcast_join(orders, cust, on="c_custkey")
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+def _q_join_lineitem_part(sf_dir: str) -> Any:
+    """Partitioned hash join (both sides large: tag + bucket + one
+    groupby shuffle) + grouped aggregate."""
+    import ray.data
+
+    from yaii_ray.ops import joins
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.rename(columns={"l_partkey": "p_partkey"}), batch_format="pandas"
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    joined = joins.partitioned_hash_join(li, part, on="p_partkey", nbuckets=16)
+    out = (
+        joined.groupby("p_brand")
+        .map_groups(
+            lambda g: g.groupby("p_brand", as_index=False).agg(
+                n=("p_partkey", "size"), sum_qty=("l_quantity", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
+def _q_asof_prev_event(sf_dir: str) -> Any:
+    """Backward as-of self-lookup: each event joined to the latest
+    strictly-earlier event of the same user."""
+    import ray.data
+
+    from yaii_ray.ops import joins
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = joins.asof_join(
+        ev, key="user_id", ts="ts", value_cols=["value"], id_col="event_id"
+    ).to_pandas()
+    out["prev_value_r"] = out["prev_value"].astype("float64").round(6)
+    return out[["event_id", "prev_value_r"]]
+
+
+def _q_session_windows(sf_dir: str) -> Any:
+    """Gap-based sessionization (30-minute gap) per user."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from yaii_ray.ops import windows
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts", pc.cast(b["ts"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = windows.session_windows(
+        ev, key="user_id", ts="ts", gap_us=30 * 60 * 1_000_000, id_col="event_id"
+    ).to_pandas()
+    return out[["user_id", "session_start", "session_end", "n_events"]]
+
+
+def _q_hopping_window(sf_dir: str) -> Any:
+    """Hopping windows: size 2h, hop 1h, count per (user, window)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from yaii_ray.ops import windows
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    w = windows.hopping_window(
+        ev, key="user_id", ts="ts", size_us=2 * 3_600_000_000, hop_us=3_600_000_000
+    )
+    return (
+        w.groupby(["user_id", "win"]).aggregate(Count(alias_name="n")).to_pandas()
+    )
+
+
 _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
@@ -323,6 +436,11 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_group_agg": _q_lineitem_group_agg,
     "events_sort_limit": _q_events_sort_limit,
     "events_window_hourly": _q_events_window_hourly,
+    "join_orders_customer": _q_join_orders_customer,
+    "join_lineitem_part": _q_join_lineitem_part,
+    "asof_prev_event": _q_asof_prev_event,
+    "session_windows": _q_session_windows,
+    "hopping_window": _q_hopping_window,
     "dedup_exact": _q_dedup_exact,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
@@ -398,6 +516,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, hour""",
+        "join_orders_customer": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "join_lineitem_part": """
+            SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "asof_prev_event": """
+            SELECT event_id,
+                   round(lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS prev_value_r
+            FROM events""",
+        "session_windows": """
+            WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+            m AS (
+              SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS new
+              FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
+        "hopping_window": """
+            SELECT user_id, (epoch_us(ts) // 3600000000) - d AS win, count(*) AS n
+            FROM events, (VALUES (0), (1)) g(d)
+            WHERE (epoch_us(ts) // 3600000000) - d >= 0
+            GROUP BY user_id, win""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id""",

@@ -29,6 +29,41 @@ import sys
 import time
 
 
+def _machine_ceiling(lo: int, hi: int) -> dict:
+    """Calibrate the box: the SAME pure-numpy job run as lo and hi
+    concurrent processes. On shared/throttled sandboxes the deliverable
+    core count is far below the nominal CPU count (memory-bandwidth
+    contention + cgroup throttling), which caps ANY engine's 8->32
+    scaling; the engine's efficiency should be judged against this
+    ceiling, not against an unreachable 4x."""
+    import time as _time
+
+    code = (
+        "import numpy as np\n"
+        "a = np.random.default_rng(0).random(2_000_000)\n"
+        "for _ in range(40): b = np.sort(a)\n"
+    )
+
+    def run(n: int) -> float:
+        t0 = _time.monotonic()
+        ps = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.DEVNULL)
+            for _ in range(n)
+        ]
+        for p in ps:
+            p.wait()
+        return n / (_time.monotonic() - t0)  # jobs per second
+
+    t_lo, t_hi = run(lo), run(hi)
+    ratio = t_hi / t_lo
+    return {
+        "probe_jobs_per_sec_lo": round(t_lo, 3),
+        "probe_jobs_per_sec_hi": round(t_hi, 3),
+        "machine_ceiling_ratio": round(ratio, 3),
+        "machine_ceiling_efficiency": round(ratio / (hi / lo), 3),
+    }
+
+
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -42,6 +77,7 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    ceiling = _machine_ceiling(lo, hi)
     r_lo, r_hi = one(lo), one(hi)
     tput_lo = r_lo["build_turns_per_sec"]
     tput_hi = r_hi["build_turns_per_sec"]
@@ -55,6 +91,12 @@ def run_scaling() -> None:
                 "turns_per_sec_8": tput_lo,
                 "turns_per_sec_32": tput_hi,
                 "scaling_efficiency": round(eff, 3),
+                # engine efficiency relative to what the hardware can
+                # deliver at all (see _machine_ceiling)
+                "normalized_efficiency": round(
+                    eff / ceiling["machine_ceiling_efficiency"], 3
+                ),
+                **ceiling,
                 "bm25_p50_ms_32": r_hi["bm25_p50_ms"],
                 "turns": r_hi["turns"],
             }

@@ -124,9 +124,17 @@ def build_index(
 
             _shutil.rmtree(os.path.join(index_dir, "docs", seg_name), ignore_errors=True)
             _shutil.rmtree(os.path.join(index_dir, "postings", seg_name), ignore_errors=True)
+            _shutil.rmtree(os.path.join(index_dir, "termstats", seg_name), ignore_errors=True)
         t0 = time.monotonic()
         docs_dir = os.path.join(index_dir, "docs", seg_name)
         postings_dir = os.path.join(index_dir, "postings", seg_name)
+        # a missing segment manifest means any postings/termstats here
+        # are from a crashed run — rebuild them from scratch (docs
+        # parts stay: they ARE resumable per unit)
+        import shutil as _shutil
+
+        _shutil.rmtree(postings_dir, ignore_errors=True)
+        _shutil.rmtree(os.path.join(index_dir, "termstats", seg_name), ignore_errors=True)
         os.makedirs(docs_dir, exist_ok=True)
         os.makedirs(postings_dir, exist_ok=True)
         nb = num_buckets or max(16, len(seg_units))
@@ -143,13 +151,24 @@ def build_index(
             concurrency=pool,
             batch_format="numpy",
         )
-        manifest_rows = (
+        # ONE streaming pipeline: partial postings → term-keyed merge
+        # (writes postings + manifest sidecars) → global df per key →
+        # per-segment termstats. Stats/manifests come back via tiny
+        # sidecar files, so no second job re-reads the postings.
+        seg_termstats = os.path.join(index_dir, "termstats", seg_name)
+        (
             partials.groupby(["shard", "bucket"])
-            .map_groups(
-                MergeBucket(cfg_json, postings_dir), batch_format="pyarrow"
-            )
-            .take_all()
+            .map_groups(MergeBucket(cfg_json, postings_dir), batch_format="pyarrow")
+            .groupby("key")
+            .sum("df")
+            .write_parquet(seg_termstats)
         )
+        manifest_rows = []
+        for mf in sorted(
+            glob.glob(os.path.join(postings_dir, "shard=*", "*.manifest.json"))
+        ):
+            with open(mf) as f:
+                manifest_rows.append(json.load(f))
         rows = int(sum(u["rows"] for u in seg_units))
         seg_manifest = {
             "segment": seg_name,
@@ -161,12 +180,9 @@ def build_index(
                 for u in seg_units
             ],
             "postings": sorted(
-                (
-                    {k: r[k] for k in ("shard", "bucket", "path", "rows", "n_postings")}
-                    for r in manifest_rows
-                ),
-                key=lambda r: (r["shard"], r["bucket"]),
+                manifest_rows, key=lambda r: (r["shard"], r["bucket"])
             ),
+            "termstats": seg_termstats,
         }
         _atomic_json(seg_manifest, seg_manifest_path)
         seg_manifests.append(seg_manifest)
@@ -176,55 +192,46 @@ def build_index(
              "rows_per_sec": round(rows / dt, 1)}
         )
 
-    # ---- global stats (N, per-field dl sums) from docs dl_* columns
+    # ---- global stats: sum the per-unit sidecars (no extra Ray job)
     t0 = time.monotonic()
-    docs_files = [p for m in seg_manifests for p in m["docs_files"]]
-    scored_fields = sorted(
-        {n for n, fc in config.fields.items() if fc.scored}
-        | ({"_all"} if config.all_field and config.all_scored else set())
-    )
-    dl_cols = [f"dl_{f}" for f in scored_fields]
     stats: dict = {"N": 0, "fields": {}}
-    if dl_cols:
-        def _partial(batch: pa.Table) -> pa.Table:
-            out = {"n": pa.array([batch.num_rows], type=pa.int64())}
-            for c in dl_cols:
-                col = batch[c].to_numpy()
-                out[f"count_{c}"] = pa.array([int((col > 0).sum())], type=pa.int64())
-                out[f"sum_{c}"] = pa.array([int(col.sum())], type=pa.int64())
-            return pa.table(out)
-
-        parts = (
-            ray.data.read_parquet(docs_files, columns=dl_cols)
-            .map_batches(_partial, batch_format="pyarrow")
-            .take_all()
-        )
-        stats["N"] = int(sum(p["n"] for p in parts))
-        for f in scored_fields:
-            stats["fields"][f] = {
-                "doc_count": int(sum(p[f"count_dl_{f}"] for p in parts)),
-                "sum_dl": int(sum(p[f"sum_dl_{f}"] for p in parts)),
-            }
-    else:
-        stats["N"] = int(sum(m["doc_hi"] - m["doc_lo"] for m in seg_manifests))
+    for m in seg_manifests:
+        for p in m["docs_files"]:
+            with open(p + ".stats.json") as f:
+                s = json.load(f)
+            stats["N"] += s["n"]
+            for fname, fs in s["fields"].items():
+                agg = stats["fields"].setdefault(
+                    fname, {"doc_count": 0, "sum_dl": 0}
+                )
+                agg["doc_count"] += fs["doc_count"]
+                agg["sum_dl"] += fs["sum_dl"]
     metrics["stats_sec"] = round(time.monotonic() - t0, 3)
 
-    # ---- global term stats: df per key (sums chunk/segment partials)
+    # ---- global term stats: single segment -> use its termstats dir
+    # directly; multiple segments -> one tiny merge groupby over the
+    # per-segment (key, sum(df)) tables
     t0 = time.monotonic()
-    posting_files = [
-        p["path"] for m in seg_manifests for p in m["postings"]
-    ]
-    termstats_dir = os.path.join(index_dir, "termstats")
-    if posting_files:
-        # coalesce the many small bucket files into a few read blocks —
-        # the groupby's shuffle overhead scales with block count
-        nblocks = max(4, min(len(posting_files), int(ray.cluster_resources().get("CPU", 8))))
+    termstats_dir = None
+    seg_ts = [m["termstats"] for m in seg_manifests if m.get("termstats")]
+    if len(seg_ts) == 1:
+        termstats_dir = seg_ts[0]
+    elif seg_ts:
+        termstats_dir = os.path.join(index_dir, "termstats", "merged")
+        import shutil as _shutil
+
+        _shutil.rmtree(termstats_dir, ignore_errors=True)
+        ts_files = [
+            f for d in seg_ts for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
         (
-            ray.data.read_parquet(
-                posting_files, columns=["key", "df"], override_num_blocks=nblocks
-            )
+            ray.data.read_parquet(ts_files)
             .groupby("key")
-            .sum("df")
+            .sum("sum(df)")
+            .map_batches(
+                lambda t: t.rename_columns(["key", "sum(df)"]),
+                batch_format="pyarrow",
+            )
             .write_parquet(termstats_dir)
         )
     metrics["termstats_sec"] = round(time.monotonic() - t0, 3)
@@ -236,7 +243,7 @@ def build_index(
         "num_shards": config.num_shards,
         "chunk_shift": config.chunk_shift,
         "segments": seg_manifests,
-        "termstats_dir": termstats_dir if posting_files else None,
+        "termstats_dir": termstats_dir,
         "metrics": metrics,
     }
     _atomic_json(manifest, os.path.join(index_dir, "manifest.json"))

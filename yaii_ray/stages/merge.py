@@ -38,17 +38,7 @@ from yaii_ray.config import IndexConfig
 from yaii_ray.stages.partials import atomic_write_parquet
 from yaii_ray.stages.termize import KEY_SEP
 
-MANIFEST_SCHEMA = pa.schema(
-    [
-        ("shard", pa.int64()),
-        ("bucket", pa.int64()),
-        ("path", pa.string()),
-        ("rows", pa.int64()),
-        ("n_postings", pa.int64()),
-        ("key_min", pa.large_string()),
-        ("key_max", pa.large_string()),
-    ]
-)
+DF_PARTIAL_SCHEMA = pa.schema([("key", pa.large_string()), ("df", pa.int64())])
 
 
 def _posting_index_ranges(row_starts: np.ndarray, row_sizes: np.ndarray) -> np.ndarray:
@@ -75,7 +65,7 @@ class MergeBucket:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return MANIFEST_SCHEMA.empty_table()
+            return DF_PARTIAL_SCHEMA.empty_table()
         shard = int(group["shard"][0].as_py())
         bucket = int(group["bucket"][0].as_py())
         t = group.sort_by([("key", "ascending"), ("chunk", "ascending")])
@@ -187,15 +177,38 @@ class MergeBucket:
         os.makedirs(shard_dir, exist_ok=True)
         path = os.path.join(shard_dir, f"bucket-{bucket:05d}.parquet")
         atomic_write_parquet(out, path, compression="zstd")
+        # bucket manifest as an atomic json sidecar — the driver globs
+        # these after the pipeline instead of shipping rows through it
+        import json
 
+        sidecar = {
+            "shard": shard,
+            "bucket": bucket,
+            "path": path,
+            "rows": int(ngroups),
+            "n_postings": int(total),
+        }
+        tmp = path + ".manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, path + ".manifest.json")
+
+        # return per-key df partials (summed over this bucket's chunks)
+        # so global term stats continue IN THE SAME streaming pipeline
+        # (groupby("key").sum("df")) with no second job / postings
+        # re-read
+        key_arr = keys[g_first_row]
+        kb = np.empty(len(key_arr), dtype=bool)
+        kb[0] = True
+        if len(key_arr) > 1:
+            kb[1:] = key_arr[1:] != key_arr[:-1]
+        kstarts = np.flatnonzero(kb)
+        df_per_key = np.add.reduceat(g_sizes, kstarts)
         return pa.table(
             {
-                "shard": pa.array([shard], type=pa.int64()),
-                "bucket": pa.array([bucket], type=pa.int64()),
-                "path": pa.array([path]),
-                "rows": pa.array([ngroups], type=pa.int64()),
-                "n_postings": pa.array([total], type=pa.int64()),
-                "key_min": pa.compute.cast(pa.array([str(keys[0])]), pa.large_string()),
-                "key_max": pa.compute.cast(pa.array([str(keys[-1])]), pa.large_string()),
+                "key": pa.compute.cast(
+                    pa.array(key_arr[kstarts].astype("U")), pa.large_string()
+                ),
+                "df": pa.array(df_per_key, type=pa.int64()),
             }
         )

@@ -141,6 +141,22 @@ class BuildPartials:
                     f"dl_{fname}", pa.array(dl, type=pa.uint32())
                 )
             atomic_write_parquet(docs_tbl, dest, compression="zstd")
+        # per-unit stats sidecar (N, per-field doc_count/sum_dl) — the
+        # driver sums these tiny jsons instead of running a separate
+        # stats job over the docs table
+        import json
+
+        stats = {
+            "n": int(n),
+            "fields": {
+                f: {"doc_count": int((dl > 0).sum()), "sum_dl": int(dl.sum())}
+                for f, dl in dl_cols.items()
+            },
+        }
+        tmp = dest + ".stats.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, dest + ".stats.json")
 
         # shuffle keys: shard = doc-range partition, bucket = salted
         # merge bucket mixing term hash with the chunk salt
