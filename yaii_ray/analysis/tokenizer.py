@@ -15,6 +15,12 @@ Reference behaviors reproduced (observable semantics, not code):
 All hot-path entry points are vectorized over Arrow arrays
 (``pyarrow.compute`` kernels); the scalar versions exist for tests and
 for the exact-BM25 oracle.
+
+Known divergence: Arrow's ``utf8_lower`` applies SIMPLE unicode case
+mapping while Python/JS apply FULL mapping — they differ only for a
+handful of codepoints whose lowercase expands (e.g. ``İ`` U+0130 →
+``i̇``). Transcript corpora are unaffected; exotic-codepoint inputs
+should be normalized upstream if bit-parity matters there.
 """
 
 from __future__ import annotations
@@ -26,8 +32,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Same separator class as the reference tokenizer.
-SEPARATOR_PATTERN = r"[\s\-,;:.]+"
+# Same separator class as the reference tokenizer (`/[\s\-,;:.]+/` in
+# JS). \s differs between regex engines (Python's includes U+0085,
+# RE2's is ASCII-only, JS's includes NBSP etc), so the JS WhiteSpace +
+# LineTerminator set is spelled out explicitly — the scalar (re) and
+# vectorized (Arrow/RE2) paths then agree by construction and match
+# the reference's engine.
+JS_WHITESPACE = (
+    "\t\n\v\f\r \u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+SEPARATOR_PATTERN = "[" + JS_WHITESPACE + r"\-,;:.]+"
 _SEPARATOR_RE = re.compile(SEPARATOR_PATTERN)
 
 # Verbatim from reference src/lib/analyzer/stopwords-filter.ts:4-125
@@ -60,7 +76,7 @@ def tokenize_string(text: str, stopwords: bool = False) -> list[str]:
     With ``stopwords=True`` also applies the stopword filter (this is
     the analyzer of the ``_all`` field and of BM25 ``text`` fields).
     """
-    toks = _SEPARATOR_RE.split(text.strip().lower())
+    toks = _SEPARATOR_RE.split(text.strip(JS_WHITESPACE).lower())
     if stopwords:
         toks = [t for t in toks if t not in STOPWORDS]
     return toks
@@ -77,7 +93,7 @@ def tokenize_strings(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     filled = pc.fill_null(arr, "")
-    lowered = pc.utf8_lower(pc.utf8_trim_whitespace(filled))
+    lowered = pc.utf8_lower(pc.utf8_trim(filled, characters=JS_WHITESPACE))
     tokens = pc.split_pattern_regex(lowered, SEPARATOR_PATTERN)
     if stopwords:
         flat = tokens.flatten()
