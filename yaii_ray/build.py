@@ -250,6 +250,117 @@ def build_index(
     return index_dir
 
 
+def compact_index(index_dir: str, out_dir: str) -> str:
+    """Merge a multi-segment index into a single segment (the
+    reference's never-implemented ``scheduleNextMerge``,
+    ``base-inverted-index.ts:536-548`` — LSM-style compaction).
+
+    Doc ids are already global and disjoint across segments, so the
+    merge is the SAME term-keyed groupby the build uses: posting rows
+    from all segments re-shuffled on (shard, bucket) and re-merged by
+    :class:`MergeBucket` (which re-sorts per (key, chunk) group —
+    boundary chunks shared by adjacent segments fold together). Docs
+    parts are re-linked, not rewritten.
+    """
+    import shutil
+
+    manifest = load_manifest(index_dir)
+    config = IndexConfig.from_json(manifest["config"])
+    cfg_json = manifest["config"]
+    os.makedirs(out_dir, exist_ok=True)
+    seg_name = "seg-000"
+    postings_dir = os.path.join(out_dir, "postings", seg_name)
+    docs_dir = os.path.join(out_dir, "docs", seg_name)
+    termstats_dir = os.path.join(out_dir, "termstats", seg_name)
+    shutil.rmtree(postings_dir, ignore_errors=True)
+    shutil.rmtree(termstats_dir, ignore_errors=True)
+    os.makedirs(postings_dir, exist_ok=True)
+    os.makedirs(docs_dir, exist_ok=True)
+
+    posting_files = [
+        p["path"] for m in manifest["segments"] for p in m["postings"]
+    ]
+    nb = max(16, len(posting_files))
+
+    def re_key(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = t.select(["key", "chunk", "df", "docs", "tfs", "dls"])
+        chunks = t["chunk"].to_numpy()
+        key_hash = np.array(
+            [zlib.crc32(k) for k in t["key"].cast(pa.large_binary()).to_pylist()],
+            dtype=np.uint64,
+        )
+        shard = (chunks % np.int64(config.num_shards)).astype(np.int64)
+        bucket = (
+            (key_hash + chunks.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return t.append_column("shard", pa.array(shard)).append_column(
+            "bucket", pa.array(bucket)
+        )
+
+    from yaii_ray.stages.merge import MergeBucket
+
+    (
+        ray.data.read_parquet(posting_files)
+        .map_batches(re_key, batch_format="pyarrow")
+        .groupby(["shard", "bucket"])
+        .map_groups(MergeBucket(cfg_json, postings_dir), batch_format="pyarrow")
+        .groupby("key")
+        .sum("df")
+        .write_parquet(termstats_dir)
+    )
+
+    manifest_rows = []
+    for mf in sorted(glob.glob(os.path.join(postings_dir, "shard=*", "*.manifest.json"))):
+        with open(mf) as f:
+            manifest_rows.append(json.load(f))
+
+    docs_files = []
+    units = []
+    for m in manifest["segments"]:
+        for u, p in zip(m["units"], m["docs_files"]):
+            dest = docs_part_path_compat(docs_dir, len(docs_files))
+            if os.path.abspath(p) != os.path.abspath(dest):
+                if not os.path.exists(dest):
+                    os.link(p, dest) if _same_fs(p, dest) else shutil.copy2(p, dest)
+                shutil.copy2(p + ".stats.json", dest + ".stats.json")
+            docs_files.append(dest)
+            units.append({**u, "unit": len(units)})
+
+    seg_manifest = {
+        "segment": seg_name,
+        "doc_lo": manifest["segments"][0]["doc_lo"],
+        "doc_hi": manifest["segments"][-1]["doc_hi"],
+        "units": units,
+        "docs_files": docs_files,
+        "postings": sorted(manifest_rows, key=lambda r: (r["shard"], r["bucket"])),
+        "termstats": termstats_dir,
+    }
+    _atomic_json(seg_manifest, os.path.join(out_dir, f"{seg_name}.manifest.json"))
+    new_manifest = {
+        **manifest,
+        "segments": [seg_manifest],
+        "termstats_dir": termstats_dir,
+        "metrics": {"compacted_from": index_dir},
+    }
+    _atomic_json(new_manifest, os.path.join(out_dir, "manifest.json"))
+    return out_dir
+
+
+def _same_fs(a: str, b: str) -> bool:
+    return os.stat(os.path.dirname(os.path.abspath(a))).st_dev == os.stat(
+        os.path.dirname(os.path.abspath(b))
+    ).st_dev
+
+
+def docs_part_path_compat(docs_dir: str, unit: int) -> str:
+    from yaii_ray.stages.partials import docs_part_path
+
+    return docs_part_path(docs_dir, unit)
+
+
 def build_index_from_table(
     table: "pa.Table", index_dir: str, config: IndexConfig, **kw
 ) -> str:
