@@ -301,6 +301,19 @@ def _q_doc_fingerprint(sf_dir: str) -> Any:
     return out[["doc_id", "fp_md5"]]
 
 
+def _q_bpe_token_count(sf_dir: str) -> Any:
+    from yaii_ray.ops import textstats
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: textstats.bpe_token_count_batch(b), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    return out[["doc_id", "n_bpe_tokens"]]
+
+
 def _q_lang_id(sf_dir: str) -> Any:
     """Heuristic language ID (rows-only: heuristic has no SQL twin)."""
     from yaii_ray.ops import textstats
@@ -448,6 +461,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
     "text_stats": _q_text_stats,
+    "bpe_token_count": _q_bpe_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "lang_id": _q_lang_id,
 }
@@ -596,6 +610,12 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(t, x -> x IN ({stop})))::DOUBLE
                          / greatest(len(t), 1), 6) AS stopword_ratio_r
             FROM toks""",
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+                   )) AS n_bpe_tokens
+            FROM documents""",
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5

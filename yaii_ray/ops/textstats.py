@@ -107,6 +107,36 @@ def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("lang_guess", pa.array(guesses, type=pa.string()))
 
 
+# GPT-2-style pre-tokenizer pattern (public; contractions, word
+# chunks, number chunks, punctuation runs, whitespace runs). Python's
+# re lacks \p classes — \w/\d approximations keep it DuckDB-oracle
+# compatible (same pattern string runs under RE2's regexp_extract_all).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``n_bpe_tokens``: count of GPT-2-style pre-tokenizer
+    matches — the cheap deterministic stand-in for a real BPE token
+    count (no tokenizer model in this container; the split pattern is
+    the public GPT-2 regex shape)."""
+    global _BPE_RE
+    import re as _re
+
+    if _BPE_RE is None:
+        _BPE_RE = _re.compile(BPE_ISH_PATTERN)
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    counts = [
+        len(_BPE_RE.findall(t)) for t in pc.fill_null(arr, "").to_pylist()
+    ]
+    return batch.append_column(
+        "n_bpe_tokens", pa.array(np.array(counts, dtype=np.int64))
+    )
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fp_md5`` (md5 hex of lowercased whitespace-normalized
     token join — SQL: ``md5(array_to_string(tokens, ' '))``) and
