@@ -237,3 +237,30 @@ def test_multimodal_image_pipeline(ray_session):
     )
     assert aout["rate"].tolist() == [16000, 16000]
     assert all(len(f) == 4 for f in aout["frames"])
+
+
+def test_dedup_near_clusters(docs_ds):
+    """Full near-dedup funnel: pairs -> union-find clusters -> keep
+    min-id per cluster; verified against a brute transitive closure."""
+    ds, t = docs_ds
+    cc = dedup.dedup_near(ds, tau=0.5)
+    want_pairs = _brute_jaccard_pairs(t, 0.5)
+    # brute transitive closure
+    ids = sorted(t["doc_id"].to_pylist())
+    label = {i: i for i in ids}
+
+    def root(x):
+        while label[x] != x:
+            x = label[x]
+        return x
+
+    for a, b in want_pairs:
+        ra, rb = root(a), root(b)
+        if ra != rb:
+            label[max(ra, rb)] = min(ra, rb)
+    want = {i: root(i) for i in ids}
+    got = dict(zip(cc["id"], cc["cluster"]))
+    assert got == want
+    # keep = exactly one representative (the min id) per cluster
+    keep_ids = set(cc[cc["keep"]]["id"])
+    assert keep_ids == set(want.values())

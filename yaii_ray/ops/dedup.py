@@ -347,6 +347,64 @@ def near_dup_pairs_simhash(
     return pairs
 
 
+def connected_components(pairs: pd.DataFrame, ids: np.ndarray) -> pd.DataFrame:
+    """Cluster near-dup pairs: -> (id, cluster) where cluster = min id
+    reachable through the pair graph (union-find).
+
+    Driver-side union-find is right when the candidate-pair set is
+    small (it is: pairs survive an LSH + verification funnel). For a
+    pair set that itself doesn't fit one machine, run min-label
+    propagation instead: iterate ``label = min(label, neighbors'
+    labels)`` as a groupby over the edge list until fixed point
+    (ray_guide's dedup recipe) — same result, all-Ray.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        union(int(a), int(b))
+    labels = np.array([find(int(i)) for i in ids], dtype=np.int64)
+    return pd.DataFrame({"id": ids, "cluster": labels})
+
+
+def dedup_near(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    **minhash_kw,
+) -> pd.DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> exact-Jaccard verify
+    -> connected components -> keep the min-id member per cluster.
+    Returns (id, cluster, keep)."""
+    pairs = near_dup_pairs_minhash(ds, col, id_col, tau, **minhash_kw)
+    ids = np.sort(
+        np.concatenate(
+            [
+                b[id_col].to_numpy(zero_copy_only=False)
+                for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+            ]
+        )
+    )
+    cc = connected_components(pairs, ids)
+    cc["keep"] = cc["id"] == cc["cluster"]
+    return cc
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 lacks bitwise_count)."""
     return (
