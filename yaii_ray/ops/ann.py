@@ -5,7 +5,10 @@
   its local top-k rows, the driver merges ≤ (k × n_blocks) partials.
   This is the correctness baseline and is already the right *shape*
   at scale (no shuffle, no materialization).
-- :class:`IVFIndex` — the scale path: k-means coarse quantizer
+- :class:`IVFIndex` — the scale path (inverted-file indexing à la
+  Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  Search", TPAMI 2011 — coarse quantizer only, no PQ compression
+  here): k-means coarse quantizer
   (seeded, trained on a driver-side sample), assignments computed by a
   vectorized ``map_batches`` pass and written as bucket-partitioned
   state; queries probe the ``nprobe`` nearest centroids only. Exact

@@ -1,5 +1,10 @@
 """Deduplication operators over a text (or embedding) column.
 
+Public algorithm sources: MinHash (Broder, "On the resemblance and
+containment of documents", 1997), LSH banding (Leskovec/Rajaraman/
+Ullman, *Mining of Massive Datasets* ch. 3), SimHash (Charikar, STOC
+2002; Manku et al., WWW 2007 for the Hamming-band trick).
+
 Scale shapes (ray_guide "Aggregation at scale" / LSH pattern):
 
 - exact:      content hash per batch -> ``groupby(hash)`` -> keep the

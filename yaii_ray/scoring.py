@@ -8,7 +8,9 @@ contributions in the SAME order (query terms sorted ascending by term
 string, summed left-to-right via ``np.add.reduceat``), so scores are
 bitwise identical, not merely close.
 
-Formula (public Robertson/Lucene formulation, SURVEY.md §2.11):
+Formula (public formulation: Robertson & Zaragoza, "The Probabilistic
+Relevance Framework: BM25 and Beyond", FnTIR 2009; the +1 idf variant
+popularized by Lucene — SURVEY.md §2.11):
     idf      = ln(1 + (N - df + 0.5) / (df + 0.5))
     tf_norm  = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     score(d) = Σ_t idf_t * tf_norm(t, d)

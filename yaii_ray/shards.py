@@ -19,7 +19,9 @@ the Ray-native equivalent of the reference's per-segment LRU-cached
 LevelDB reads (``immutable-segment.ts:87,311-331``); posting binaries
 are decoded lazily per (key, chunk) row and memoized.
 
-Block-max WAND here is the *best-first windowed* variant: the doc
+Block-max WAND (Ding & Suel, "Faster Top-k Document Retrieval Using
+Block-Max Indexes", SIGIR 2011; WAND: Broder et al., CIKM 2003) here
+is a *best-first windowed* variant: the doc
 space is cut into windows, each window gets an upper bound from the
 per-block (max tf, min dl) sidecars, and windows are scored in
 descending upper-bound order until the bound falls below the running
