@@ -253,6 +253,72 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     )
 
 
+def _q_near_dup_cluster(sf_dir: str) -> Any:
+    """Near-dup clustering: exact word-3-gram Jaccard pairs (tau=0.4)
+    -> connected components -> (doc_id, cluster=min reachable id).
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    import pyarrow.parquet as _pq
+
+    from yaii_ray.ops import dedup
+
+    pairs = dedup.near_dup_pairs_exact(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), tau=0.4
+    )
+    ids = np.sort(
+        _pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+    )
+    cc = dedup.connected_components(pairs, ids)
+    cc = cc.rename(columns={"id": "doc_id"})
+    return cc[["doc_id", "cluster"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ann_ivf_topk(sf_dir: str) -> Any:
+    """IVF (coarse-quantized) ANN top-10 for 3 query vectors, nprobe=6
+    of nlist=16 (rows-only: probing is approximate by design; recall
+    vs brute force is asserted in tests/test_ops.py)."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from yaii_ray.ops import ann
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
+    qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ivf = ann.IVFIndex(nlist=16, seed=13).fit(ds)
+    got = ivf.search(qm, k=10, nprobe=6)
+    got["cosine_r"] = got["cosine"].round(6)
+    return got[["query", "vec_id", "rank", "cosine_r"]]
+
+
+def _q_multimodal_image_meta(sf_dir: str) -> Any:
+    """Multimodal plumbing: attach a deterministic fake image payload
+    per doc (binary column), decode it in an actor-pool map_batches
+    stage, return typed metadata. Oracle covers the deterministic
+    width/height; pixel stats exactness is tests/test_ops.py."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.ops import multimodal as mm
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        imgs = [
+            mm.encode_fake_image(16 + int(i) % 16, 16, seed=int(i)) for i in ids
+        ]
+        return b.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id"])
+        .map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            mm.ImageDecode, concurrency=2, batch_size=256, batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    return out[["doc_id", "width", "height"]]
+
+
 def _q_embed_cosine_pairs(sf_dir: str) -> Any:
     import ray.data
 
@@ -458,6 +524,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
     "simhash_pairs": _q_simhash_pairs,
+    "near_dup_cluster": _q_near_dup_cluster,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "multimodal_image_meta": _q_multimodal_image_meta,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
     "text_stats": _q_text_stats,
@@ -588,6 +657,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(x.s, y.s))::DOUBLE
                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
             ORDER BY a, b""",
+        "near_dup_cluster": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              FOR i IN generate_series(1, len(t) - 2)])
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks WHERE len(t) > 0
+            ),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
+            )
+            SELECT id AS doc_id, min(lab) AS cluster
+            FROM walk GROUP BY id ORDER BY doc_id""",
+        "multimodal_image_meta": """
+            SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width,
+                   CAST(16 AS INT) AS height
+            FROM documents""",
         "embed_cosine_pairs": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
             SELECT x.vec_id AS a, y.vec_id AS b,
