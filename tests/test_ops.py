@@ -264,3 +264,32 @@ def test_dedup_near_clusters(docs_ds):
     # keep = exactly one representative (the min id) per cluster
     keep_ids = set(cc[cc["keep"]]["id"])
     assert keep_ids == set(want.values())
+
+
+def test_multimodal_video_pipeline(ray_session):
+    import ray.data
+
+    payloads = [multimodal.encode_fake_video(8, 4, nframes=10, seed=s) for s in range(4)]
+    t = pa.table(
+        {
+            "vid_id": pa.array(range(4), type=pa.int64()),
+            "video": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            multimodal.VideoFrameSample(stride=3, max_frames=3),
+            batch_size=2,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vid_id")
+    )
+    assert out["width"].tolist() == [8] * 4
+    assert out["height"].tolist() == [4] * 4
+    # frames 0, 3, 6 of 10 at stride 3, capped at 3
+    assert all(len(f) == 3 for f in out["frame_lumas"])
+    frames0 = np.frombuffer(payloads[0], np.uint8, 10 * 8 * 4, 10).reshape(10, 4, 8)
+    assert out["frame_lumas"].iloc[0][1] == pytest.approx(frames0[3].mean())

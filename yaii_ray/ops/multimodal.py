@@ -22,6 +22,7 @@ import pyarrow as pa
 
 FAKE_MAGIC = b"FIMG"  # fake image: FIMG | u16 w | u16 h | w*h gray bytes
 FAKE_AUDIO_MAGIC = b"FAUD"  # FAUD | u32 rate | u32 n | n float32 samples
+FAKE_VIDEO_MAGIC = b"FVID"  # FVID | u16 w | u16 h | u16 nframes | frames' gray bytes
 
 
 def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
@@ -44,6 +45,60 @@ def encode_fake_audio(rate: int, n: int, seed: int = 0) -> bytes:
         + np.uint32(n).tobytes()
         + samples.tobytes()
     )
+
+
+def encode_fake_video(width: int, height: int, nframes: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=nframes * width * height, dtype=np.uint8)
+    return (
+        FAKE_VIDEO_MAGIC
+        + np.uint16(width).tobytes()
+        + np.uint16(height).tobytes()
+        + np.uint16(nframes).tobytes()
+        + pix.tobytes()
+    )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: binary video -> every ``stride``-th frame's
+    mean luma (first ``max_frames``), plus frame geometry. A real
+    deployment swaps the FVID branch for an ffmpeg/PyAV decoder in
+    ``__init__`` (not in this container -> NotImplementedError)."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, ns, lumas = [], [], [], []
+        for p in batch["video"].to_pylist():
+            if p[:4] != FAKE_VIDEO_MAGIC:
+                raise NotImplementedError(
+                    "real video decode needs ffmpeg/PyAV (not in this container); "
+                    "use the FVID fake codec in tests"
+                )
+            w = int(np.frombuffer(p, np.uint16, 1, 4)[0])
+            h = int(np.frombuffer(p, np.uint16, 1, 6)[0])
+            nf = int(np.frombuffer(p, np.uint16, 1, 8)[0])
+            frames = np.frombuffer(p, np.uint8, nf * w * h, 10).reshape(nf, h, w)
+            sel = frames[:: self.stride][: self.max_frames]
+            ws.append(w)
+            hs.append(h)
+            ns.append(sel.shape[0])
+            lumas.append(sel.mean(axis=(1, 2)).astype(np.float64))
+        flat = pa.array(
+            np.concatenate(lumas) if lumas else np.zeros(0), type=pa.float64()
+        )
+        offsets = np.concatenate([[0], np.cumsum(ns)]).astype(np.int32)
+        return (
+            batch.drop_columns(["video"])
+            .append_column("width", pa.array(ws, type=pa.int32()))
+            .append_column("height", pa.array(hs, type=pa.int32()))
+            .append_column(
+                "frame_lumas",
+                pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat),
+            )
+        )
 
 
 class ImageDecode:
