@@ -352,8 +352,12 @@ def _q_text_stats(sf_dir: str) -> Any:
         .map_batches(lambda b: textstats.text_stats_batch(b), batch_format="pyarrow")
         .to_pandas()
     )
-    out["stopword_ratio_r"] = out["stopword_ratio"].round(6)
-    return out[["doc_id", "n_tokens", "stopword_ratio_r"]]
+    for c in ("stopword_ratio", "punct_ratio", "mean_token_len", "quality"):
+        out[c + "_r"] = out[c].round(6)
+    return out[
+        ["doc_id", "n_tokens", "stopword_ratio_r", "punct_ratio_r",
+         "mean_token_len_r", "quality_r"]
+    ]
 
 
 def _q_doc_fingerprint(sf_dir: str) -> Any:
@@ -704,12 +708,29 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "text_stats": f"""
             WITH toks AS (
-              SELECT doc_id, {_TOKENIZE} AS t FROM documents
+              SELECT doc_id, text, {_TOKENIZE} AS t FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     len(list_filter(t, x -> x IN ({stop})))::DOUBLE
+                       / greatest(len(t), 1) AS stop_ratio,
+                     len(regexp_extract_all(text,
+                         '[,.;:!?\\-—''"()\\[\\]{{}}]'))::DOUBLE
+                       / greatest(len(text), 1) AS punct_ratio,
+                     list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                       / greatest(len(t), 1) AS mean_len
+              FROM toks
             )
-            SELECT doc_id, len(t) AS n_tokens,
-                   round(len(list_filter(t, x -> x IN ({stop})))::DOUBLE
-                         / greatest(len(t), 1), 6) AS stopword_ratio_r
-            FROM toks""",
+            SELECT doc_id, n_tokens,
+                   round(stop_ratio, 6) AS stopword_ratio_r,
+                   round(punct_ratio, 6) AS punct_ratio_r,
+                   round(coalesce(mean_len, 0.0), 6) AS mean_token_len_r,
+                   round((least(n_tokens, 100) / 100.0
+                          + least(stop_ratio * 3.0, 1.0)
+                          + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0,
+                         6) AS quality_r
+            FROM m""",
         "bpe_token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
