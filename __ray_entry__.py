@@ -143,6 +143,58 @@ def _q_keyword_filter_count(sf_dir: str) -> pa.Table:
     return pa.table({"n": pa.array([n], type=pa.int64())})
 
 
+def _q_agg_group_by_source(sf_dir: str) -> Any:
+    """Reference-style aggregateQuery (G4 with nested G2): GROUP_BY on
+    a stored field with COUNT + FIRST(n_chars DESC) per group, over an
+    index-filtered doc set (aggregate.ts:158-277 semantics)."""
+    from yaii_ray import aggs
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    res = idx.aggregate(
+        dsl.token("en", "lang"),
+        [
+            aggs.GroupBy(
+                "source",
+                (
+                    aggs.First(
+                        sort=(
+                            dsl.SortClause("n_chars", dsl.DESC),
+                            dsl.SortClause("doc_id", dsl.ASC),
+                        ),
+                    ),
+                ),
+            )
+        ],
+    )
+    df = res["group_by"].copy()
+    df["first.doc_id"] = df["first.doc_id"].astype("int64")
+    df["first.n_chars"] = df["first.n_chars"].astype("int64")
+    return df[["source", "count", "first.doc_id", "first.n_chars"]]
+
+
+def _q_sorted_query_top50(sf_dir: str) -> Any:
+    """Filtered + sorted + limited query with projection (K2 two-phase
+    top-k, K3 multi-clause comparator; base-inverted-index.ts:430-467)."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    t = idx.query(
+        dsl.token("en", "lang"),
+        sort=[dsl.SortClause("n_chars", dsl.DESC), dsl.SortClause("doc_id", dsl.ASC)],
+        limit=50,
+        columns=["n_chars"],
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }
+    )
+
+
 def _q_lineitem_group_agg(sf_dir: str) -> Any:
     """Partial-aggregation groupby over lineitem (G4 / pre-agg at scale)."""
     import ray.data
@@ -516,6 +568,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bool_or_not": _q_bool_or_not,
     "number_range": _q_number_range,
     "keyword_filter_count": _q_keyword_filter_count,
+    "agg_group_by_source": _q_agg_group_by_source,
+    "sorted_query_top50": _q_sorted_query_top50,
     "lineitem_group_agg": _q_lineitem_group_agg,
     "events_sort_limit": _q_events_sort_limit,
     "events_window_hourly": _q_events_window_hourly,
@@ -590,6 +644,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id""",
         "keyword_filter_count": "SELECT count(*) AS n FROM documents WHERE lang = 'en'",
+        "agg_group_by_source": """
+            WITH f AS (SELECT * FROM documents WHERE lang = 'en'),
+            c AS (SELECT source, count(*) AS count FROM f GROUP BY source),
+            w AS (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM f)
+            SELECT c.source, c.count,
+                   w.doc_id AS "first.doc_id", w.n_chars AS "first.n_chars"
+            FROM c JOIN w USING (source) WHERE w.rn = 1 ORDER BY source""",
+        "sorted_query_top50": """
+            SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 50""",
         "lineitem_group_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -11,7 +11,7 @@ Pipelines timed (the north-rule workload, SURVEY.md §6):
                    $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Env: RAY_GRAFT_CPUS (default 32) — fresh ``ray.init(num_cpus=...)``;
-GRAFT_SF_DIR; BENCH_TURNS (default 500000).
+GRAFT_SF_DIR; BENCH_TURNS (default 2000000).
 
 ``--scaling`` re-runs the same input in fresh processes at 8 and 32
 CPUs and reports throughput at both + scaling efficiency — the sandbox
@@ -107,7 +107,10 @@ def run_scaling() -> None:
 def main() -> None:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_turns = int(os.environ.get("BENCH_TURNS", "500000"))
+    # default sized so the build runs ~15-20 s at 32 CPUs: small enough
+    # for a per-round bench, large enough that actor-pool startup and
+    # first-task import costs don't dominate the throughput number
+    n_turns = int(os.environ.get("BENCH_TURNS", "2000000"))
 
     import ray
 
