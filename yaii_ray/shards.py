@@ -13,11 +13,15 @@ terms for ITS docs (document-partitioned index). Consequences:
   and passed IN with the query, so no cross-shard chatter at query
   time.
 
-State lives in an actor (``IndexShardActor``): the term dictionary
-(sorted key array + row metadata) is loaded once in ``__init__`` —
-the Ray-native equivalent of the reference's per-segment LRU-cached
-LevelDB reads (``immutable-segment.ts:87,311-331``); posting binaries
-are decoded lazily per (key, chunk) row and memoized.
+State lives in an actor (``IndexShardActor``): only the term
+dictionary (sorted key array + row metadata) is loaded eagerly in
+``__init__``; posting payload columns load lazily per bucket file and
+decoded rows are memoized, both under LRU caps — the Ray-native
+equivalent of the reference's memory-capped per-segment posting cache
+(``immutable-segment.ts:87,311-331``). ``warmup()`` pre-faults files
+up to the cap, so a shard whose working set fits memory serves at
+fully-resident latency while an over-sized one degrades gracefully
+instead of OOMing.
 
 Block-max WAND (Ding & Suel, "Faster Top-k Document Retrieval Using
 Block-Max Indexes", SIGIR 2011; WAND: Broder et al., CIKM 2003) here
@@ -45,7 +49,18 @@ from yaii_ray.stages.termize import KEY_SEP
 
 
 class ShardState:
+    # resident-memory bounds (the Ray-native equivalent of the
+    # reference's memory-capped posting LRU, immutable-segment.ts:87):
+    # payload columns of at most this many bucket FILES stay resident,
+    PAYLOAD_FILE_CACHE = 64
+    # and at most this many DECODED posting rows are memoized.
+    DECODED_ROW_CACHE = 65_536
+
+    _PAYLOAD_COLS = ["docs", "tfs", "dls", "blk_last", "blk_maxtf", "blk_mindl"]
+
     def __init__(self, manifest: dict, shard_id: int):
+        from collections import OrderedDict
+
         self.manifest = manifest
         self.shard_id = shard_id
         self.num_shards = manifest["num_shards"]
@@ -56,23 +71,50 @@ class ShardState:
             for p in seg["postings"]
             if p["shard"] == shard_id
         ]
-        tables = [pq.read_table(f) for f in files]
-        if tables:
-            t = pa.concat_tables(tables).sort_by(
-                [("key", "ascending"), ("chunk", "ascending")]
+        # eager: the term DICTIONARY only (key, chunk, df — small);
+        # payload columns (posting binaries) load lazily per bucket
+        # file, bounded by the LRU caps above, so a shard's resident
+        # footprint is dictionary + working set, not the whole index
+        metas = [pq.read_table(f, columns=["key", "chunk", "df"]) for f in files]
+        self._files = files
+        if metas:
+            meta = pa.concat_tables(metas)
+            keys = np.asarray(meta["key"].to_pandas(), dtype=object)
+            chunk = meta["chunk"].to_numpy()
+            df = meta["df"].to_numpy()
+            file_idx = np.concatenate(
+                [np.full(m.num_rows, i, dtype=np.int32) for i, m in enumerate(metas)]
             )
+            local_row = np.concatenate(
+                [np.arange(m.num_rows, dtype=np.int64) for m in metas]
+            )
+            order = np.lexsort((chunk, keys))
+            self.keys: np.ndarray = keys[order]
+            self.chunk = chunk[order]
+            self.df = df[order]
+            self._file_idx = file_idx[order]
+            self._local_row = local_row[order]
         else:
-            from yaii_ray.stages.merge import MergeBucket  # schema only
-            t = pa.schema(
-                [("key", pa.large_string()), ("chunk", pa.int64()), ("df", pa.int64())]
-            ).empty_table()
-        self.keys: np.ndarray = np.asarray(t["key"].to_pandas(), dtype=object)
-        self.chunk = t["chunk"].to_numpy() if t.num_rows else np.zeros(0, np.int64)
-        self.df = t["df"].to_numpy() if t.num_rows else np.zeros(0, np.int64)
-        self.table = t
-        self._decoded: dict[int, tuple] = {}
+            self.keys = np.zeros(0, dtype=object)
+            self.chunk = np.zeros(0, np.int64)
+            self.df = np.zeros(0, np.int64)
+            self._file_idx = np.zeros(0, np.int32)
+            self._local_row = np.zeros(0, np.int64)
+        self._payloads: "OrderedDict[int, pa.Table]" = OrderedDict()
+        self._decoded: "OrderedDict[int, tuple]" = OrderedDict()
         self._filter_cache: dict[str, np.ndarray] = {}
         self._doc_ids: np.ndarray | None = None
+
+    def _payload(self, file_idx: int) -> pa.Table:
+        hit = self._payloads.get(file_idx)
+        if hit is not None:
+            self._payloads.move_to_end(file_idx)
+            return hit
+        t = pq.read_table(self._files[file_idx], columns=self._PAYLOAD_COLS)
+        self._payloads[file_idx] = t
+        while len(self._payloads) > self.PAYLOAD_FILE_CACHE:
+            self._payloads.popitem(last=False)
+        return t
 
     # ---- term dictionary ------------------------------------------
 
@@ -86,25 +128,37 @@ class ShardState:
         hi = bisect.bisect_left(self.keys, key_hi)  # type: ignore[arg-type]
         return lo, hi
 
+    def warmup_payloads(self) -> int:
+        """Pre-fault payload files into the LRU (never past its cap) —
+        resident-grade query latency when the working set fits, bounded
+        memory when it doesn't. Returns number of files resident."""
+        for fi in range(min(len(self._files), self.PAYLOAD_FILE_CACHE)):
+            self._payload(fi)
+        return len(self._payloads)
+
     def _decode_row(self, row: int) -> tuple:
         """-> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl) arrays."""
         hit = self._decoded.get(row)
         if hit is not None:
+            self._decoded.move_to_end(row)
             return hit
         df = int(self.df[row])
-        t = self.table
-        docs = codec.delta_decode_docs(t["docs"][row].as_py(), df)
-        tfs = codec.decode_tfs(t["tfs"][row].as_py(), df)
-        dls_raw = t["dls"][row].as_py()
+        t = self._payload(int(self._file_idx[row]))
+        r = int(self._local_row[row])
+        docs = codec.delta_decode_docs(t["docs"][r].as_py(), df)
+        tfs = codec.decode_tfs(t["tfs"][r].as_py(), df)
+        dls_raw = t["dls"][r].as_py()
         dls = codec.decode_tfs(dls_raw, df) if dls_raw else None
-        bl_raw = t["blk_last"][row].as_py()
+        bl_raw = t["blk_last"][r].as_py()
         blk_last = codec.delta_decode_docs(bl_raw) if bl_raw else None
-        mt_raw = t["blk_maxtf"][row].as_py()
+        mt_raw = t["blk_maxtf"][r].as_py()
         blk_maxtf = codec.decode_tfs(mt_raw) if mt_raw else None
-        md_raw = t["blk_mindl"][row].as_py()
+        md_raw = t["blk_mindl"][r].as_py()
         blk_mindl = codec.decode_tfs(md_raw) if md_raw else None
         out = (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)
         self._decoded[row] = out
+        while len(self._decoded) > self.DECODED_ROW_CACHE:
+            self._decoded.popitem(last=False)
         return out
 
     def term_postings(self, field: str, term: str) -> tuple:
@@ -371,6 +425,7 @@ def make_shard_actor():
             return self.state.search_bm25(*args, **kw)
 
         def warmup(self) -> int:
+            self.state.warmup_payloads()
             return len(self.state.keys)
 
     return IndexShardActor
