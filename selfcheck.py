@@ -90,17 +90,17 @@ def main() -> int:
         try:
             got = _normalize(_to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
+            print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}", flush=True)
             failures.append(name)
             continue
         ray_s = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows, {ray_s:.1f}s, no oracle)")
+            print(f"ok   {name}: rows-only ({len(got)} rows, {ray_s:.1f}s, no oracle)", flush=True)
             continue
         try:
             exp = _normalize(con.execute(oracles[name]).df())
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}")
+            print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}", flush=True)
             failures.append(name)
             continue
         problems = []
@@ -117,12 +117,12 @@ def main() -> int:
                 f"exp={exp[bad].head(2).to_dict('records')})"
             )
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name}: " + "; ".join(problems), flush=True)
             failures.append(name)
         else:
-            print(f"ok   {name}: {len(got)} rows match ({ray_s:.1f}s)")
+            print(f"ok   {name}: {len(got)} rows match ({ray_s:.1f}s)", flush=True)
 
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""), flush=True)
     return 1 if failures else 0
 
 
