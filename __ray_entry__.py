@@ -216,13 +216,27 @@ def _q_lineitem_group_agg(sf_dir: str) -> Any:
 
 
 def _q_events_sort_limit(sf_dir: str) -> Any:
+    """Global top-100 by value — two-phase top-k (per-block local top-k
+    then a ≤100×n_blocks driver merge), NOT ``ds.sort().limit()``: a
+    bounded-k result never justifies an all-to-all sort shuffle."""
+    import pyarrow.compute as pc
     import ray.data
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
     )
-    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
-    t = out.to_pandas()
+    keys = [("value", "descending"), ("event_id", "ascending")]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        return b.take(pc.sort_indices(b, sort_keys=keys)[:100])
+
+    t = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort")
+        .head(100)
+        .reset_index(drop=True)
+    )
     t["value"] = t["value"].round(6)
     return t
 
