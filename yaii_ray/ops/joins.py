@@ -98,11 +98,11 @@ def asof_join(
         g = g.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
         tvals = g[ts].to_numpy()
         idx = np.searchsorted(tvals, tvals, side="left") - 1
+        valid = idx >= 0
         for c in value_cols:
             vals = g[c].to_numpy()
-            out = np.empty(len(g), dtype=object)
-            for i, j in enumerate(idx):
-                out[i] = vals[j] if j >= 0 else None
+            out = np.full(len(g), None, dtype=object)
+            out[valid] = vals[idx[valid]]
             g[f"{out_prefix}{c}"] = out
         return g
 
