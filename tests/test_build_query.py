@@ -210,3 +210,22 @@ def test_resume_skips_completed_segments(ray_session, tmp_path):
     assert [s["postings"] for s in manifest1["segments"]] == [
         s["postings"] for s in manifest2["segments"]
     ]
+
+
+def test_shard_actor_restart_recovers(built):
+    """Shard state is a pure function of (index_dir, shard_id): a
+    killed actor is transparently restarted by Ray (max_restarts) and
+    the retried query returns identical results."""
+    import ray
+
+    idx, _ = built
+    q = dsl.token("the", "text")
+    before = idx.resolve(q)
+    victim = idx.actors[0]
+    ray.kill(victim, no_restart=False)
+    after = idx.resolve(q)
+    assert np.array_equal(before, after)
+    s_before = idx.search("retry tool error", field="text", k=5)
+    ray.kill(idx.actors[1], no_restart=False)
+    s_after = idx.search("retry tool error", field="text", k=5)
+    assert s_before.equals(s_after)

@@ -409,7 +409,11 @@ def make_shard_actor():
     # starve concurrently running Dataset build jobs (on a multi-node
     # cluster, pin them with num_cpus=1 and spread via scheduling
     # strategy instead).
-    @ray.remote(num_cpus=0)
+    # max_restarts/max_task_retries: shard state is a PURE function of
+    # (index_dir, shard_id) — the manifest is immutable once built — so
+    # a crashed/preempted actor is safely rebuilt by Ray and the failed
+    # query call retried (SURVEY.md §7 "actor restart semantics").
+    @ray.remote(num_cpus=0, max_restarts=-1, max_task_retries=-1)
     class IndexShardActor:
         """One query shard held in actor memory (stateful stage)."""
 
