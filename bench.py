@@ -151,8 +151,9 @@ def main() -> None:
     cfg.chunk_shift = 16
     # units sized so every worker gets several tasks at this CPU count
     unit_rows = max(16_384, n_turns // (ncpu * 3))
+    build_metrics: dict = {}
     t0 = time.monotonic()
-    build_index(src, idx_dir, cfg, target_unit_rows=unit_rows)
+    build_index(src, idx_dir, cfg, target_unit_rows=unit_rows, metrics=build_metrics)
     timings["build"] = round(time.monotonic() - t0, 3)
 
     # 2. BM25 top-10 latency (p50 over a fixed query mix)
@@ -196,6 +197,14 @@ def main() -> None:
                 "num_cpus": ncpu,
                 "turns": n_turns,
                 "build_turns_per_sec": round(n_turns / timings["build"], 1),
+                "build_stages": {
+                    "segments": [
+                        {k: s[k] for k in ("segment", "rows", "sec", "rows_per_sec") if k in s}
+                        for s in build_metrics.get("segments", [])
+                    ],
+                    "stats_sec": build_metrics.get("stats_sec"),
+                    "termstats_sec": build_metrics.get("termstats_sec"),
+                },
                 "bm25_p50_ms": p50_ms,
             }
         )
