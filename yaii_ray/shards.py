@@ -50,10 +50,11 @@ from yaii_ray.stages.termize import KEY_SEP
 
 class ShardState:
     # resident-memory bounds (the Ray-native equivalent of the
-    # reference's memory-capped posting LRU, immutable-segment.ts:87):
-    # payload columns of at most this many bucket FILES stay resident,
-    PAYLOAD_FILE_CACHE = 64
-    # and at most this many DECODED posting rows are memoized.
+    # reference's sizeInMemory-capped posting LRU,
+    # immutable-segment.ts:87): payload columns stay resident up to
+    # this byte budget per shard actor (evicted whole-file LRU)…
+    PAYLOAD_CACHE_BYTES = 4 << 30
+    # …and at most this many DECODED posting rows are memoized.
     DECODED_ROW_CACHE = 65_536
 
     _PAYLOAD_COLS = ["docs", "tfs", "dls", "blk_last", "blk_maxtf", "blk_mindl"]
@@ -101,6 +102,7 @@ class ShardState:
             self._file_idx = np.zeros(0, np.int32)
             self._local_row = np.zeros(0, np.int64)
         self._payloads: "OrderedDict[int, pa.Table]" = OrderedDict()
+        self._payload_bytes = 0
         self._decoded: "OrderedDict[int, tuple]" = OrderedDict()
         self._filter_cache: dict[str, np.ndarray] = {}
         self._doc_ids: np.ndarray | None = None
@@ -112,8 +114,10 @@ class ShardState:
             return hit
         t = pq.read_table(self._files[file_idx], columns=self._PAYLOAD_COLS)
         self._payloads[file_idx] = t
-        while len(self._payloads) > self.PAYLOAD_FILE_CACHE:
-            self._payloads.popitem(last=False)
+        self._payload_bytes += t.nbytes
+        while self._payload_bytes > self.PAYLOAD_CACHE_BYTES and len(self._payloads) > 1:
+            _, old = self._payloads.popitem(last=False)
+            self._payload_bytes -= old.nbytes
         return t
 
     # ---- term dictionary ------------------------------------------
@@ -129,10 +133,12 @@ class ShardState:
         return lo, hi
 
     def warmup_payloads(self) -> int:
-        """Pre-fault payload files into the LRU (never past its cap) —
-        resident-grade query latency when the working set fits, bounded
-        memory when it doesn't. Returns number of files resident."""
-        for fi in range(min(len(self._files), self.PAYLOAD_FILE_CACHE)):
+        """Pre-fault payload files into the LRU until the byte budget
+        is reached — resident-grade query latency when the working set
+        fits, bounded memory when it doesn't. Returns files resident."""
+        for fi in range(len(self._files)):
+            if self._payload_bytes >= self.PAYLOAD_CACHE_BYTES:
+                break
             self._payload(fi)
         return len(self._payloads)
 
