@@ -149,8 +149,12 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     cfg = transcripts_config(num_shards=min(ncpu, 16))
     cfg.chunk_shift = 16
-    # units sized so every worker gets several tasks at this CPU count
-    unit_rows = max(16_384, n_turns // (ncpu * 3))
+    # units sized so every worker gets several tasks at this CPU count,
+    # capped at 64k rows: larger units measurably hurt (A/B at 10M
+    # turns: 104k-row units build 2.4x slower than 64k — bigger
+    # per-task intermediates thrash the allocator/page cache, and
+    # coarser tasks straggle)
+    unit_rows = min(65_536, max(16_384, n_turns // (ncpu * 3)))
     build_metrics: dict = {}
     t0 = time.monotonic()
     build_index(src, idx_dir, cfg, target_unit_rows=unit_rows, metrics=build_metrics)

@@ -74,7 +74,7 @@ def build_index(
     index_dir: str,
     config: IndexConfig,
     *,
-    target_unit_rows: int = 262_144,
+    target_unit_rows: int = 65_536,
     units_per_segment: int = 256,
     num_buckets: int | None = None,
     metrics: dict | None = None,
