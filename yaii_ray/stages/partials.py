@@ -35,7 +35,7 @@ from yaii_ray.stages import termize
 
 
 def plan_units(
-    files: list[str], target_rows: int = 262_144
+    files: list[str], target_rows: int = 65_536
 ) -> list[dict]:
     """Deterministic unit plan: split each file's row groups into
     ~target_rows units and prefix-sum dense doc-id bases.
