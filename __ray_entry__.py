@@ -105,6 +105,28 @@ def _q_bm25_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_filtered_top10(sf_dir: str) -> pa.Table:
+    """BM25 top-10 restricted by a boolean filter (WAND with an
+    allowed-set mask inside the shard actors)."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    t = idx.search(
+        "merge batch window sort",
+        field="text",
+        k=10,
+        filter=dsl.token("en", "lang"),
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "score_r": pc.round(t["score"], 6),
+        }
+    )
+
+
 def _q_bool_and(sf_dir: str) -> pa.Table:
     from yaii_ray.query import dsl
 
@@ -403,11 +425,13 @@ def _q_ann_topk(sf_dir: str) -> Any:
     from yaii_ray.ops import ann
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 1)
-    qvec = np.asarray(q["embedding"][0].as_py(), dtype=np.float64)
-    got = ann.brute_topk(ds, qvec, k=10)
+    q = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
+    qm = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    got = ann.brute_topk(ds, qm, k=10)
     got["cosine_r"] = got["cosine"].round(6)
-    return got[["vec_id", "cosine_r"]]
+    got["query"] = got["query"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got[["query", "vec_id", "rank", "cosine_r"]]
 
 
 def _q_text_stats(sf_dir: str) -> Any:
@@ -578,6 +602,7 @@ def _q_hopping_window(sf_dir: str) -> Any:
 _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
+    "bm25_filtered_top10": _q_bm25_filtered_top10,
     "bool_and": _q_bool_and,
     "bool_or_not": _q_bool_or_not,
     "number_range": _q_number_range,
@@ -638,11 +663,22 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, round(score, 6) AS score_r
     FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+    # same statistics (global N/avgdl/df — the filter masks candidates,
+    # it does NOT change the corpus stats), candidates restricted
+    bm25_filtered = bm25.replace(
+        """SELECT doc_id, round(score, 6) AS score_r
+    FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
+        """SELECT s.doc_id, round(s.score, 6) AS score_r
+    FROM scores s JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en'
+    ORDER BY s.score DESC, s.doc_id LIMIT 10""",
+    )
     return {
         "term_df_top50": f"""{tok_cte}
             SELECT term, count(DISTINCT doc_id) AS df FROM tok
             GROUP BY term ORDER BY df DESC, term LIMIT 50""",
         "bm25_top10": bm25,
+        "bm25_filtered_top10": bm25_filtered,
         "bool_and": f"""
             SELECT doc_id FROM documents
             WHERE list_contains({_TOKENIZE}, 'merge')
@@ -781,12 +817,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.emb, y.emb) >= 0.2
             ORDER BY a, b""",
         "ann_topk": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-            SELECT e.vec_id,
-                   round(list_cosine_similarity(e.emb, q.emb), 6) AS cosine_r
-            FROM v e, (SELECT emb FROM v WHERE vec_id = 0) q
-            ORDER BY list_cosine_similarity(e.emb, q.emb) DESC, e.vec_id
-            LIMIT 10""",
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query, emb FROM v WHERE vec_id < 3),
+            ranked AS (
+              SELECT q.query, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query
+                       ORDER BY list_cosine_similarity(e.emb, q.emb) DESC,
+                                e.vec_id ASC) AS rank,
+                     round(list_cosine_similarity(e.emb, q.emb), 6) AS cosine_r
+              FROM v e, q
+            )
+            SELECT query, vec_id, rank, cosine_r FROM ranked WHERE rank <= 10""",
         "text_stats": f"""
             WITH toks AS (
               SELECT doc_id, text, {_TOKENIZE} AS t FROM documents
