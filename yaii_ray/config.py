@@ -123,9 +123,14 @@ class IndexConfig:
             b=d["b"],
         )
 
+    # bump when the on-disk index layout changes incompatibly, so
+    # fingerprint-keyed caches (e.g. /tmp/yaii_idx_cache) self-invalidate
+    FORMAT_VERSION = 1
+
     def fingerprint(self) -> str:
         return hashlib.sha256(
-            json.dumps(self.to_json(), sort_keys=True).encode()
+            json.dumps({"format": self.FORMAT_VERSION, **self.to_json()},
+                       sort_keys=True).encode()
         ).hexdigest()[:16]
 
 
