@@ -380,6 +380,26 @@ def _q_ann_ivf_topk(sf_dir: str) -> Any:
     return got[["query", "vec_id", "rank", "cosine_r"]]
 
 
+def _q_ann_lsh_topk(sf_dir: str) -> Any:
+    """Random-hyperplane LSH ANN top-10 for 3 query vectors, multi-probe
+    (rows-only: bucketing is approximate by design; planted-neighbor
+    recall is asserted in tests/test_ops.py)."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from yaii_ray.ops import ann
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
+    qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    lsh = ann.LSHIndex(nbits=12, seed=29).fit(ds)
+    got = lsh.search(qm, k=10, probes=8)
+    got["cosine_r"] = got["cosine"].round(6)
+    got["query"] = got["query"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got[["query", "vec_id", "rank", "cosine_r"]]
+
+
 def _q_multimodal_image_meta(sf_dir: str) -> Any:
     """Multimodal plumbing: attach a deterministic fake image payload
     per doc (binary column), decode it in an actor-pool map_batches
@@ -623,6 +643,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_pairs": _q_simhash_pairs,
     "near_dup_cluster": _q_near_dup_cluster,
     "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_image_meta": _q_multimodal_image_meta,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,

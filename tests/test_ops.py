@@ -293,3 +293,20 @@ def test_multimodal_video_pipeline(ray_session):
     assert all(len(f) == 3 for f in out["frame_lumas"])
     frames0 = np.frombuffer(payloads[0], np.uint8, 10 * 8 * 4, 10).reshape(10, 4, 8)
     assert out["frame_lumas"].iloc[0][1] == pytest.approx(frames0[3].mean())
+
+
+def test_lsh_recall(emb_ds):
+    """LSH finds true NEAR neighbors (cosine ~ 1): self + the planted
+    near-dups land in the query's own bucket; random far vectors are
+    not recallable by locality hashing and are not asserted."""
+    ds, mat, ids = emb_ds
+    idx = ann.LSHIndex(nbits=6, seed=29).fit(ds)
+    got = idx.search(mat[:5], k=5, probes=8)
+    for qi in range(5):
+        g = got[got["query"] == qi]
+        assert g["vec_id"].iloc[0] == qi  # self is rank 1
+        if qi < 3:  # planted near-dup of rows 0..2 is vec 30+qi
+            assert 30 + qi in g["vec_id"].tolist()
+    # single-probe (own bucket only) still finds self
+    g1 = idx.search(mat[:1], k=5, probes=1)["vec_id"].tolist()
+    assert g1[0] == 0

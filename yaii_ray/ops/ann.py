@@ -137,3 +137,77 @@ class IVFIndex:
             if out
             else pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
         )
+
+
+class LSHIndex:
+    """Random-hyperplane LSH for cosine ANN (Charikar, "Similarity
+    Estimation Techniques from Rounding Algorithms", STOC 2002):
+    signature bit i = sign(v . h_i); vectors bucketed by signature.
+    Queries probe the query's own bucket plus the ``probes-1`` buckets
+    reached by flipping the lowest-|margin| signature bits (multi-probe
+    LSH, Lv et al., VLDB 2007), then exact-rescore candidates.
+
+    Like :class:`IVFIndex`, held in memory here; the scale path writes
+    one parquet partition per signature prefix and probes those files /
+    shard actors the same way.
+    """
+
+    def __init__(self, nbits: int = 12, seed: int = 29):
+        self.nbits = nbits
+        self.seed = seed
+
+    def fit(self, ds, id_col: str = "vec_id", vec_col: str = "embedding") -> "LSHIndex":
+        mat, ids = _embedding_matrix(ds, id_col, vec_col)
+        rng = np.random.default_rng(self.seed)
+        self.planes = rng.standard_normal((self.nbits, mat.shape[1]))
+        sigs = self._signature(mat)
+        order = np.argsort(sigs, kind="stable")
+        self._ids = ids[order]
+        self._vecs = mat[order]
+        self._sigs = sigs[order]
+        return self
+
+    def _signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum(axis=1)
+
+    def search(self, queries: np.ndarray, k: int = 10, probes: int = 8) -> pd.DataFrame:
+        Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        margins = Q @ self.planes.T  # signed distance to each plane
+        out = []
+        for qi in range(Q.shape[0]):
+            base = np.uint64(
+                ((margins[qi] > 0).astype(np.uint64)
+                 << np.arange(self.nbits, dtype=np.uint64)).sum()
+            )
+            flip_order = np.argsort(np.abs(margins[qi]), kind="stable")
+            cand_sigs = [base]
+            for b in flip_order[: max(0, probes - 1)]:
+                cand_sigs.append(base ^ (np.uint64(1) << np.uint64(b)))
+            idxs = []
+            for s in cand_sigs:
+                a = np.searchsorted(self._sigs, s, side="left")
+                z = np.searchsorted(self._sigs, s, side="right")
+                if z > a:
+                    idxs.append(np.arange(a, z))
+            if not idxs:
+                continue
+            sel = np.concatenate(idxs)
+            ids = self._ids[sel]
+            sims = self._vecs[sel] @ Q[qi]
+            order = np.lexsort((ids, -sims))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query": qi,
+                        "vec_id": ids[order],
+                        "rank": np.arange(1, len(order) + 1),
+                        "cosine": sims[order],
+                    }
+                )
+            )
+        return (
+            pd.concat(out).reset_index(drop=True)
+            if out
+            else pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
+        )
