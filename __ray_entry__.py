@@ -392,8 +392,11 @@ def _q_ann_lsh_topk(sf_dir: str) -> Any:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qt = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
     qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
-    lsh = ann.LSHIndex(nbits=12, seed=29).fit(ds)
-    got = lsh.search(qm, k=10, probes=8)
+    # bucket-count chosen for the sf corpus size (~2^8 buckets over
+    # ~10^3-10^4 vectors keeps buckets a few vectors deep); at scale
+    # raise nbits so bucket size stays bounded
+    lsh = ann.LSHIndex(nbits=8, seed=29).fit(ds)
+    got = lsh.search(qm, k=10, probes=16)
     got["cosine_r"] = got["cosine"].round(6)
     got["query"] = got["query"].astype("int64")
     got["rank"] = got["rank"].astype("int64")
