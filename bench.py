@@ -42,6 +42,11 @@ def _machine_ceiling(lo: int, hi: int, n_turns: int) -> dict:
     import time as _time
 
     probe_turns = min(n_turns, 2_000_000)
+    # generate/caches the probe corpus ONCE, outside the timed region
+    # (probe subprocesses only read it)
+    from yaii_ray.corpus import transcripts_path
+
+    transcripts_path(probe_turns, row_group_size=16_384)
     code = f"""
 import sys, os, shutil
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -53,11 +58,15 @@ src = transcripts_path({probe_turns}, row_group_size=16_384)
 files = sorted(os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet"))
 cfg = transcripts_config(num_shards=16); cfg.chunk_shift = 16
 units = plan_units(files, target_rows=32_768)[:64]
+while len(units) < {hi} * 2:   # pad small corpora so no proc starves
+    units = units + units
+units = units[: max(64, {hi} * 2)]
 docs_dir = f"/tmp/yaii_probe/{{nprocs}}_{{proc_id}}"
 shutil.rmtree(docs_dir, ignore_errors=True); os.makedirs(docs_dir)
 bp = BuildPartials(cfg.to_json(), docs_dir, 64)
-for u in [u for i, u in enumerate(units) if i % nprocs == proc_id]:
-    bp._one_unit(u["unit"], u["path"], u["rg_lo"], u["rg_hi"], u["doc_base"])
+for i, u in enumerate(units):
+    if i % nprocs == proc_id:
+        bp._one_unit(i, u["path"], u["rg_lo"], u["rg_hi"], u["doc_base"])
 """
 
     def run(n: int) -> float:
@@ -66,12 +75,15 @@ for u in [u for i, u in enumerate(units) if i % nprocs == proc_id]:
             subprocess.Popen(
                 [sys.executable, "-c", code, str(i), str(n)],
                 stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
             )
             for i in range(n)
         ]
-        for p in ps:
-            p.wait()
+        rcs = [p.wait() for p in ps]
+        if any(rcs):
+            raise RuntimeError(
+                f"machine-ceiling probe subprocess failed (rc={rcs}); "
+                "ceiling would be garbage — fix the probe"
+            )
         return _time.monotonic() - t0  # wall seconds for the fixed work
 
     t_lo, t_hi = run(lo), run(hi)

@@ -27,14 +27,9 @@ TABLES = [
 
 
 def _to_pandas(obj) -> pd.DataFrame:
-    import pyarrow as pa
-
-    if isinstance(obj, pd.DataFrame):
-        return obj
-    if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    # ray Dataset
-    return obj.to_pandas()
+    # pandas passes through; pyarrow Table and ray Dataset both expose
+    # to_pandas()
+    return obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,7 +37,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_float_dtype(col):
-            df[c] = col.round(6)
+            df[c] = col.round(6) + 0.0  # +0.0 folds -0.0 into 0.0 pre-hash
         elif pd.api.types.is_integer_dtype(col):
             df[c] = col.astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(col):

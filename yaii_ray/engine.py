@@ -45,13 +45,19 @@ class Index:
 
     # ---- actor pool ------------------------------------------------
 
+    # total posting-payload budget across the WHOLE shard pool (split
+    # evenly per actor) — the pool is usually co-located on one node in
+    # local mode, so the bound must be pool-wide, not per-actor
+    pool_payload_budget_bytes = 16 << 30
+
     @property
     def actors(self) -> list:
         if self._actors is None:
             cls = make_shard_actor()
+            nsh = self.manifest["num_shards"]
+            per_shard = max(256 << 20, self.pool_payload_budget_bytes // nsh)
             self._actors = [
-                cls.remote(self.index_dir, s)
-                for s in range(self.manifest["num_shards"])
+                cls.remote(self.index_dir, s, per_shard) for s in range(nsh)
             ]
         return self._actors
 

@@ -150,6 +150,10 @@ class LSHIndex:
     Like :class:`IVFIndex`, held in memory here; the scale path writes
     one parquet partition per signature prefix and probes those files /
     shard actors the same way.
+
+    ``search`` returns NO rows for a query whose probed buckets are all
+    empty (possible for out-of-corpus vectors with few probes) — group
+    per-query results with that in mind.
     """
 
     def __init__(self, nbits: int = 12, seed: int = 29):

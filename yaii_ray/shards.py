@@ -54,14 +54,18 @@ class ShardState:
     # immutable-segment.ts:87): payload columns stay resident up to
     # this byte budget per shard actor (evicted whole-file LRU)…
     PAYLOAD_CACHE_BYTES = 4 << 30
-    # …and at most this many DECODED posting rows are memoized.
-    DECODED_ROW_CACHE = 65_536
+    # …and decoded posting rows are memoized up to this byte budget.
+    DECODED_CACHE_BYTES = 2 << 30
 
     _PAYLOAD_COLS = ["docs", "tfs", "dls", "blk_last", "blk_maxtf", "blk_mindl"]
 
-    def __init__(self, manifest: dict, shard_id: int):
+    def __init__(
+        self, manifest: dict, shard_id: int, payload_cache_bytes: int | None = None
+    ):
         from collections import OrderedDict
 
+        if payload_cache_bytes is not None:
+            self.PAYLOAD_CACHE_BYTES = int(payload_cache_bytes)
         self.manifest = manifest
         self.shard_id = shard_id
         self.num_shards = manifest["num_shards"]
@@ -103,6 +107,7 @@ class ShardState:
             self._local_row = np.zeros(0, np.int64)
         self._payloads: "OrderedDict[int, pa.Table]" = OrderedDict()
         self._payload_bytes = 0
+        self._decoded_bytes = 0
         self._decoded: "OrderedDict[int, tuple]" = OrderedDict()
         self._filter_cache: dict[str, np.ndarray] = {}
         self._doc_ids: np.ndarray | None = None
@@ -163,8 +168,14 @@ class ShardState:
         blk_mindl = codec.decode_tfs(md_raw) if md_raw else None
         out = (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)
         self._decoded[row] = out
-        while len(self._decoded) > self.DECODED_ROW_CACHE:
-            self._decoded.popitem(last=False)
+        self._decoded_bytes += sum(
+            a.nbytes for a in out if isinstance(a, np.ndarray)
+        )
+        while self._decoded_bytes > self.DECODED_CACHE_BYTES and len(self._decoded) > 1:
+            _, old = self._decoded.popitem(last=False)
+            self._decoded_bytes -= sum(
+                a.nbytes for a in old if isinstance(a, np.ndarray)
+            )
         return out
 
     def term_postings(self, field: str, term: str) -> tuple:
@@ -423,10 +434,15 @@ def make_shard_actor():
     class IndexShardActor:
         """One query shard held in actor memory (stateful stage)."""
 
-        def __init__(self, index_dir: str, shard_id: int):
+        def __init__(
+            self, index_dir: str, shard_id: int,
+            payload_cache_bytes: int | None = None,
+        ):
             from yaii_ray.build import load_manifest
 
-            self.state = ShardState(load_manifest(index_dir), shard_id)
+            self.state = ShardState(
+                load_manifest(index_dir), shard_id, payload_cache_bytes
+            )
 
         def resolve(self, exp: ir.Exp) -> np.ndarray:
             return self.state.resolve(exp)
