@@ -1,4 +1,12 @@
+import os
+
 import pytest
+
+# allocator tuning (see bench.py header / BASELINE.md "allocator
+# note") — before any ray.init so workers inherit it
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 
 
 @pytest.fixture(scope="session")

@@ -22,6 +22,13 @@ import sys
 def _ensure_ray(num_cpus: int) -> bool:
     """Init Ray if needed; returns True when WE initialized it (the
     caller only shuts down a session it owns)."""
+    import os
+
+    # allocator tuning (see bench.py header / BASELINE.md "allocator
+    # note") — must precede ray.init so workers inherit it
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     import ray
 
     owned = not ray.is_initialized()
@@ -57,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--schema", default="transcripts", choices=["transcripts", "documents"])
     b.add_argument("--num-shards", type=int, default=16)
     b.add_argument("--chunk-shift", type=int, default=None)
-    b.add_argument("--unit-rows", type=int, default=262_144)
+    b.add_argument("--unit-rows", type=int, default=65_536)
     b.add_argument("--units-per-segment", type=int, default=256)
 
     s = sub.add_parser("search", help="BM25 top-k query")
