@@ -217,6 +217,38 @@ def _q_sorted_query_top50(sf_dir: str) -> Any:
     )
 
 
+def _q_filtered_scan_agg(sf_dir: str) -> Any:
+    """Index-filtered streaming scan + aggregate: the matching doc-id
+    set is broadcast once (ray.put) and applied as a vectorized
+    searchsorted mask inside the docs-table scan — the scalable way to
+    push an index filter into a full-table pass (no shuffle)."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.query import dsl
+
+    idx = _docs_index(sf_dir)
+    ids = idx.resolve(dsl.token("en", "lang"))
+    ds = idx.docs_dataset(columns=["n_chars"], doc_ids=ids)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], type=pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(b["n_chars"]).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n": pa.array([int(parts["n"].sum())], type=pa.int64()),
+            "sum_chars": pa.array([int(parts["sum_chars"].sum())], type=pa.int64()),
+        }
+    )
+
+
 def _q_lineitem_group_agg(sf_dir: str) -> Any:
     """Partial-aggregation groupby over lineitem (G4 / pre-agg at scale)."""
     import ray.data
@@ -632,6 +664,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "keyword_filter_count": _q_keyword_filter_count,
     "agg_group_by_source": _q_agg_group_by_source,
     "sorted_query_top50": _q_sorted_query_top50,
+    "filtered_scan_agg": _q_filtered_scan_agg,
     "lineitem_group_agg": _q_lineitem_group_agg,
     "events_sort_limit": _q_events_sort_limit,
     "events_window_hourly": _q_events_window_hourly,
@@ -731,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
         "sorted_query_top50": """
             SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
             ORDER BY n_chars DESC, doc_id ASC LIMIT 50""",
+        "filtered_scan_agg": """
+            SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang = 'en'""",
         "lineitem_group_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
