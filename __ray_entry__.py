@@ -222,29 +222,18 @@ def _q_filtered_scan_agg(sf_dir: str) -> Any:
     set is broadcast once (ray.put) and applied as a vectorized
     searchsorted mask inside the docs-table scan — the scalable way to
     push an index filter into a full-table pass (no shuffle)."""
-    import pyarrow.compute as pc
-
     from yaii_ray.query import dsl
+
+    from ray.data.aggregate import Count, Sum
 
     idx = _docs_index(sf_dir)
     ids = idx.resolve(dsl.token("en", "lang"))
     ds = idx.docs_dataset(columns=["n_chars"], doc_ids=ids)
-
-    def partial(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n": pa.array([b.num_rows], type=pa.int64()),
-                "sum_chars": pa.array(
-                    [pc.sum(b["n_chars"]).as_py() or 0], type=pa.int64()
-                ),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = ds.aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
     return pa.table(
         {
-            "n": pa.array([int(parts["n"].sum())], type=pa.int64()),
-            "sum_chars": pa.array([int(parts["sum_chars"].sum())], type=pa.int64()),
+            "n": pa.array([int(out["n"])], type=pa.int64()),
+            "sum_chars": pa.array([int(out["sum_chars"] or 0)], type=pa.int64()),
         }
     )
 
@@ -765,7 +754,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
             ORDER BY n_chars DESC, doc_id ASC LIMIT 50""",
         "filtered_scan_agg": """
-            SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            SELECT count(*) AS n,
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
             FROM documents WHERE lang = 'en'""",
         "lineitem_group_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -28,17 +28,10 @@ import subprocess
 import sys
 import time
 
-# Allocator tuning — worth ~25% build wall time on this sandbox
-# (BASELINE.md "allocator note"): the VM services FRESH page faults at
-# ~25 MB/s, and glibc/jemalloc's default policy of mmap-ing every
-# large allocation and munmap-ing it on free turns each big Arrow/numpy
-# temp into a page-fault storm. Keeping large allocations on the
-# retained heap (huge mmap threshold, trim disabled, Arrow on the
-# system allocator) faults each page once per worker lifetime instead
-# of once per batch. Must be set BEFORE ray.init so workers inherit.
-os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from yaii_ray import tune_allocator
+
+tune_allocator()  # before ray.init so workers inherit (BASELINE.md)
 
 
 def _machine_ceiling(lo: int, hi: int, n_turns: int) -> dict:

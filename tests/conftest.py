@@ -1,12 +1,8 @@
-import os
-
 import pytest
 
-# allocator tuning (see bench.py header / BASELINE.md "allocator
-# note") — before any ray.init so workers inherit it
-os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+from yaii_ray import tune_allocator
+
+tune_allocator()  # before ray.init so workers inherit (BASELINE.md)
 
 
 @pytest.fixture(scope="session")

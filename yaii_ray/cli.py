@@ -22,13 +22,11 @@ import sys
 def _ensure_ray(num_cpus: int) -> bool:
     """Init Ray if needed; returns True when WE initialized it (the
     caller only shuts down a session it owns)."""
-    import os
+    from yaii_ray import tune_allocator
 
-    # allocator tuning (see bench.py header / BASELINE.md "allocator
-    # note") — must precede ray.init so workers inherit it
-    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # no-op for workers when attaching to an already-running cluster
+    # (env can't reach an existing raylet — see tune_allocator's doc)
+    tune_allocator()
     import ray
 
     owned = not ray.is_initialized()
@@ -64,7 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--schema", default="transcripts", choices=["transcripts", "documents"])
     b.add_argument("--num-shards", type=int, default=16)
     b.add_argument("--chunk-shift", type=int, default=None)
-    b.add_argument("--unit-rows", type=int, default=65_536)
+    b.add_argument(
+        "--unit-rows", type=int, default=65_536,
+        help="target rows per build unit (resume only skips segments "
+        "whose unit plan matches: changing this re-plans and rebuilds)",
+    )
     b.add_argument("--units-per-segment", type=int, default=256)
 
     s = sub.add_parser("search", help="BM25 top-k query")
