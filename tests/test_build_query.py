@@ -229,3 +229,12 @@ def test_shard_actor_restart_recovers(built):
     ray.kill(idx.actors[1], no_restart=False)
     s_after = idx.search("retry tool error", field="text", k=5)
     assert s_before.equals(s_after)
+
+
+def test_docs_dataset_empty_filter(built):
+    """An empty index result pushed into a scan yields zero rows (the
+    broadcast searchsorted mask edge the gate's filtered_scan_agg
+    relies on)."""
+    idx, _src = built
+    ds = idx.docs_dataset(columns=["text"], doc_ids=np.zeros(0, dtype=np.uint64))
+    assert ds.count() == 0
