@@ -238,3 +238,42 @@ def test_docs_dataset_empty_filter(built):
     idx, _src = built
     ds = idx.docs_dataset(columns=["text"], doc_ids=np.zeros(0, dtype=np.uint64))
     assert ds.count() == 0
+
+
+def test_bm25_oracle_parity_50k(ray_session, tmp_path):
+    """FIXTURES.md sf-correct scale: WAND top-k rank- AND
+    score-identical (bitwise float64) to the brute-force oracle on a
+    50k-turn corpus — larger df skew, multi-chunk postings, all 4
+    shards populated."""
+    src = corpus.transcripts_path(
+        50_000, base="/tmp/yaii_corpus_test", row_group_size=2000
+    )
+    out = str(tmp_path / "idx50k")
+    cfg = transcripts_config(num_shards=4)
+    cfg.chunk_shift = 12  # 4096-doc chunks -> multi-chunk hot terms
+    build_index(src, out, cfg, target_unit_rows=8000)
+    idx = Index(out)
+    idx.warmup()
+    full = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+    )
+    oracle = BruteForceBM25(
+        full, "text", np.arange(full.num_rows, dtype=np.uint64), cfg
+    )
+    assert idx.field_stats("text") == (oracle.doc_count, oracle.avgdl)
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    queries = [
+        vocab[0],
+        f"{vocab[0]} {vocab[50]}",
+        f"{vocab[5]} {vocab[500]} {vocab[-1]}",
+        " ".join(vocab[20:25]),
+    ]
+    for q in queries:
+        t = idx.search(q, field="text", k=20)
+        want_d, want_s = oracle.search(q, k=20)
+        assert t["doc_id"].to_numpy().tolist() == want_d.tolist(), q
+        assert t["score"].to_numpy().tolist() == want_s.tolist(), q
+    idx.close()
