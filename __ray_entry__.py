@@ -219,17 +219,24 @@ def _q_sorted_query_top50(sf_dir: str) -> Any:
 
 def _q_filtered_scan_agg(sf_dir: str) -> Any:
     """Index-filtered streaming scan + aggregate: the matching doc-id
-    set is broadcast once (ray.put) and applied as a vectorized
-    searchsorted mask inside the docs-table scan — the scalable way to
-    push an index filter into a full-table pass (no shuffle)."""
+    set stays in the object store as per-shard refs (resolve_refs) and
+    is applied as a vectorized searchsorted mask inside the docs-table
+    scan — the scalable way to push an index filter into a full-table
+    pass (no shuffle, nothing materialized on the driver even for a
+    majority-matching filter)."""
     from yaii_ray.query import dsl
 
     from ray.data.aggregate import Count, Sum
 
     idx = _docs_index(sf_dir)
-    ids = idx.resolve(dsl.token("en", "lang"))
-    ds = idx.docs_dataset(columns=["n_chars"], doc_ids=ids)
+    refs = idx.resolve_refs(dsl.token("en", "lang"))
+    ds = idx.docs_dataset(columns=["n_chars"], doc_ids=refs)
     out = ds.aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+    if out is None:  # Dataset.aggregate returns None on an empty dataset
+        return pa.table(
+            {"n": pa.array([0], type=pa.int64()),
+             "sum_chars": pa.array([0], type=pa.int64())}
+        )
     return pa.table(
         {
             "n": pa.array([int(out["n"])], type=pa.int64()),

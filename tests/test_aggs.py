@@ -86,3 +86,40 @@ def test_group_by_filtered(built):
     want = df[df["tool"].notna()].groupby("tool").size()
     got = dict(zip(res["tool"], res["count"]))
     assert got == want.to_dict()
+
+
+def test_broad_filter_never_materializes_ids_on_driver(built, monkeypatch):
+    """VERDICT r1 'What's wrong #3': counts and filtered-scan aggregates
+    must not round-trip the full match-id set through the driver.
+    Index.resolve (the driver-materializing path) is poisoned; the
+    shard-side count and the resolve_refs scan must still work."""
+    from yaii_ray.engine import Index
+
+    idx, df = built
+
+    def boom(self, q):
+        raise AssertionError("driver-side resolve() called on broad-filter path")
+
+    monkeypatch.setattr(Index, "resolve", boom)
+    q = dsl.all_query()  # matches EVERY doc — the worst case
+    assert idx.count(q) == len(df)
+    res = idx.aggregate(q, [Count(), GroupBy("role")])
+    assert res["count"] == len(df)
+    got = dict(zip(res["group_by"]["role"], res["group_by"]["count"]))
+    assert got == df.groupby("role").size().to_dict()
+
+    # NB: ds.aggregate(Count()) ALONE is broken in Ray 2.49.2 (returns
+    # the zero_factory even for ray.data.range(1000)); pair Count with
+    # another aggregate or use ds.count().
+    ds = idx.docs_dataset(columns=["turn_idx"], doc_ids=idx.resolve_refs(q))
+    assert ds.count() == len(df)
+
+
+def test_unsorted_limit_bounded_driver_merge(built):
+    """Unsorted limited queries truncate in doc-id order via per-shard
+    resolve_head — results identical to the full-resolve truncation."""
+    idx, df = built
+    q = dsl.token("user", "role")
+    full = idx.resolve(q)
+    t = idx.query(q, limit=7)
+    assert t["doc_id"].to_numpy().tolist() == full[:7].tolist()

@@ -33,6 +33,13 @@ if _pkg_parent not in _pp.split(_os.pathsep):
         _pkg_parent + (_os.pathsep + _pp if _pp else "")
     )
 
+ALLOC_ENV = {
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+}
+
+
 def tune_allocator() -> None:
     """Set retained-heap allocator env vars (see BASELINE.md "allocator
     note": this class of VM services fresh page faults at ~25 MB/s, and
@@ -42,19 +49,11 @@ def tune_allocator() -> None:
     MUST run before ``ray.init`` in the process that will start the
     raylet — workers inherit the raylet's environment. Attaching to an
     already-running cluster? Pass these via
-    ``ray.init(runtime_env={"env_vars": ...})`` instead; mutating
+    ``ray.init(runtime_env={"env_vars": ALLOC_ENV})`` instead; mutating
     os.environ after the raylet exists reaches no worker.
     """
-    _os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-    _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-    _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-
-
-ALLOC_ENV = {
-    "ARROW_DEFAULT_MEMORY_POOL": "system",
-    "MALLOC_MMAP_THRESHOLD_": "1073741824",
-    "MALLOC_TRIM_THRESHOLD_": "-1",
-}
+    for k, v in ALLOC_ENV.items():
+        _os.environ.setdefault(k, v)
 
 from yaii_ray.config import FieldConfig, IndexConfig, Flags
 from yaii_ray.query.dsl import (

@@ -9,9 +9,10 @@ finals are a tiny driver-side reduce (COUNT/FIRST/LAST) or a native
 ``groupby`` shuffle (GROUP_BY).
 
 The matching-doc set comes from the index (shard actors) and is pushed
-into the scan as a broadcast sorted doc-id array (``ray.put`` once,
-``searchsorted`` membership mask per batch) — no per-batch re-shipping,
-no shuffle for the filter itself.
+into the scan as per-shard ObjectRefs (``resolve_refs``): the ids live
+in the object store, scan tasks read them zero-copy, and the driver
+never holds the match set — safe for filters matching most of the
+corpus. No per-batch re-shipping, no shuffle for the filter itself.
 """
 
 from __future__ import annotations
@@ -109,19 +110,18 @@ def aggregate(index, filter: dsl.Query, aggs: list[Agg]) -> dict[str, Any]:
       merge per group. Pre-aggregation before the shuffle keeps hot
       groups cheap (ray_guide 'Aggregation at scale').
     """
-    import ray
-
     out: dict[str, Any] = {}
-    docs = index.resolve(filter)
     scan_aggs = [a for a in aggs if not isinstance(a, Count)]
     for a in aggs:
         if isinstance(a, Count):
-            out[a.name] = int(docs.size)
+            # shard-side count: no id array ever reaches the driver
+            out[a.name] = index.count(filter)
     if not scan_aggs:
         return out
 
     cols = sorted(_needed_columns(scan_aggs))
-    ds = index.docs_dataset(columns=cols, doc_ids=docs)
+    # broad-filter-safe: ids stay in the object store as per-shard refs
+    ds = index.docs_dataset(columns=cols, doc_ids=index.resolve_refs(filter))
 
     for a in scan_aggs:
         if isinstance(a, (First, Last)):

@@ -45,10 +45,12 @@ class Index:
 
     # ---- actor pool ------------------------------------------------
 
-    # total posting-payload budget across the WHOLE shard pool (split
-    # evenly per actor) — the pool is usually co-located on one node in
-    # local mode, so the bound must be pool-wide, not per-actor
+    # total posting-payload / decoded-memo budgets across the WHOLE
+    # shard pool (split evenly per actor) — the pool is usually
+    # co-located on one node in local mode, so the bounds must be
+    # pool-wide, not per-actor
     pool_payload_budget_bytes = 16 << 30
+    pool_decoded_budget_bytes = 8 << 30
 
     @property
     def actors(self) -> list:
@@ -56,8 +58,10 @@ class Index:
             cls = make_shard_actor()
             nsh = self.manifest["num_shards"]
             per_shard = max(256 << 20, self.pool_payload_budget_bytes // nsh)
+            per_shard_dec = max(128 << 20, self.pool_decoded_budget_bytes // nsh)
             self._actors = [
-                cls.remote(self.index_dir, s, per_shard) for s in range(nsh)
+                cls.remote(self.index_dir, s, per_shard, per_shard_dec)
+                for s in range(nsh)
             ]
         return self._actors
 
@@ -182,7 +186,11 @@ class Index:
     # ---- boolean / sorted queries ---------------------------------
 
     def resolve(self, query: dsl.Query) -> np.ndarray:
-        """Matching doc ids (sorted u64) across all shards."""
+        """Matching doc ids (sorted u64) across all shards,
+        materialized ON THE DRIVER — use only when the caller needs the
+        ids themselves (small/selective filters). For broad filters
+        feeding a scan, use :meth:`resolve_refs`; for counts,
+        :meth:`count` (both keep ids off the driver)."""
         import ray
 
         exp = plan(query)
@@ -191,8 +199,25 @@ class Index:
         parts = ray.get([a.resolve.remote(exp) for a in self.actors])
         return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
 
+    def resolve_refs(self, query: dsl.Query) -> list:
+        """Per-shard sorted match-id arrays as ObjectRefs. The ids stay
+        in the object store (plasma, zero-copy to scan tasks); the
+        driver holds only ``num_shards`` refs, so a filter matching
+        10^11 docs costs the driver nothing. Feed to
+        ``docs_dataset(doc_ids=...)``."""
+        exp = plan(query)
+        if isinstance(exp, ir.NoneExp):
+            return []
+        return [a.resolve.remote(exp) for a in self.actors]
+
     def count(self, query: dsl.Query) -> int:
-        return int(self.resolve(query).size)
+        """Match count — summed shard-side, no id array ships."""
+        import ray
+
+        exp = plan(query)
+        if isinstance(exp, ir.NoneExp):
+            return 0
+        return int(sum(ray.get([a.count.remote(exp) for a in self.actors])))
 
     def query(
         self,
@@ -205,18 +230,38 @@ class Index:
         ``query()`` (base-inverted-index.ts:408-497). Unsorted limited
         queries truncate in doc-id order (= ingestion order, matching
         the reference's arrival-order semantics)."""
-        docs = self.resolve(filter)
+        import ray
+
+        exp = plan(filter)
         if sort is None and limit is not None:
-            docs = docs[:limit]
+            # each shard ships at most `limit` ids; driver merge is
+            # bounded by num_shards x limit regardless of match breadth
+            if isinstance(exp, ir.NoneExp):
+                docs = np.zeros(0, dtype=np.uint64)
+            else:
+                heads = ray.get(
+                    [a.resolve_head.remote(exp, limit) for a in self.actors]
+                )
+                docs = np.sort(np.concatenate(heads))[:limit]
+        elif sort and limit is not None:
+            docs = None  # broad path decided below on the shard-side count
+        else:
+            docs = self.resolve(filter)
         fetch = columns
         if columns is not None and sort:
             fetch = list(dict.fromkeys(columns + [c.field for c in sort]))
         # two-phase top-k (reference K2, base-inverted-index.ts:430-467):
         # when a sorted limit is requested over a large match set, run
         # per-block local top-k over the docs Dataset and only ship
-        # ≤ k × n_blocks rows to the driver for the final merge.
-        if sort and limit is not None and docs.size > self.topk_scan_threshold:
-            ds = self.docs_dataset(columns=fetch, doc_ids=docs)
+        # ≤ k × n_blocks rows to the driver for the final merge. The
+        # match ids stay in the object store (resolve_refs) — the
+        # driver holds neither the ids nor the losing rows.
+        if sort and limit is not None:
+            n = self.count(filter)
+            if n <= self.topk_scan_threshold:
+                docs = self.resolve(filter)
+        if sort and limit is not None and docs is None:
+            ds = self.docs_dataset(columns=fetch, doc_ids=self.resolve_refs(filter))
             k = limit
 
             def local_topk(b, sort=sort, k=k):
@@ -245,10 +290,13 @@ class Index:
         """The docs table as a streaming ``ray.data.Dataset``, optionally
         column-pruned and filtered to an index result.
 
-        The doc-id set is broadcast ONCE via ``ray.put``; each batch
-        applies a vectorized ``searchsorted`` membership mask — the
-        scalable way to push an index filter into a full scan (no
-        per-batch re-shipping, no shuffle)."""
+        ``doc_ids`` is either a sorted array (selective filters —
+        broadcast ONCE via ``ray.put``) or a list of per-shard
+        ObjectRefs from :meth:`resolve_refs` (broad filters — the ids
+        never touch the driver; each scan task reads the shard arrays
+        zero-copy from the object store). Either way each batch applies
+        a vectorized ``searchsorted`` membership mask — no per-batch
+        re-shipping, no shuffle for the filter itself."""
         import ray
         import ray.data
 
@@ -258,14 +306,20 @@ class Index:
             cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
         ds = ray.data.read_parquet(files, columns=cols)
         if doc_ids is not None:
-            ref = ray.put(np.asarray(doc_ids, dtype=np.uint64))
+            if isinstance(doc_ids, list):  # per-shard ObjectRefs
+                refs = doc_ids
+            else:
+                refs = [ray.put(np.asarray(doc_ids, dtype=np.uint64))]
 
             def keep(batch: pa.Table) -> pa.Table:
-                allowed = ray.get(ref)
                 ids = batch["doc_id"].to_numpy()
-                idx = np.searchsorted(allowed, ids)
-                idx[idx == allowed.size] = 0
-                mask = allowed[idx] == ids if allowed.size else np.zeros(len(ids), bool)
+                mask = np.zeros(len(ids), dtype=bool)
+                for r in refs:  # shard id-sets are disjoint: OR of masks
+                    allowed = ray.get(r)
+                    if allowed.size:
+                        idx = np.searchsorted(allowed, ids)
+                        idx[idx == allowed.size] = 0
+                        mask |= allowed[idx] == ids
                 return batch.filter(pa.array(mask))
 
             ds = ds.map_batches(keep, batch_format="pyarrow")

@@ -60,12 +60,18 @@ class ShardState:
     _PAYLOAD_COLS = ["docs", "tfs", "dls", "blk_last", "blk_maxtf", "blk_mindl"]
 
     def __init__(
-        self, manifest: dict, shard_id: int, payload_cache_bytes: int | None = None
+        self,
+        manifest: dict,
+        shard_id: int,
+        payload_cache_bytes: int | None = None,
+        decoded_cache_bytes: int | None = None,
     ):
         from collections import OrderedDict
 
         if payload_cache_bytes is not None:
             self.PAYLOAD_CACHE_BYTES = int(payload_cache_bytes)
+        if decoded_cache_bytes is not None:
+            self.DECODED_CACHE_BYTES = int(decoded_cache_bytes)
         self.manifest = manifest
         self.shard_id = shard_id
         self.num_shards = manifest["num_shards"]
@@ -145,6 +151,12 @@ class ShardState:
             if self._payload_bytes >= self.PAYLOAD_CACHE_BYTES:
                 break
             self._payload(fi)
+            # _payload evicts DOWN to the cap after each insert, so the
+            # budget check above may never fire on an over-budget shard;
+            # once any eviction has happened (fewer resident files than
+            # loaded), further warmup would just thrash the LRU
+            if len(self._payloads) <= fi:
+                break
         return len(self._payloads)
 
     def _decode_row(self, row: int) -> tuple:
@@ -437,15 +449,26 @@ def make_shard_actor():
         def __init__(
             self, index_dir: str, shard_id: int,
             payload_cache_bytes: int | None = None,
+            decoded_cache_bytes: int | None = None,
         ):
             from yaii_ray.build import load_manifest
 
             self.state = ShardState(
-                load_manifest(index_dir), shard_id, payload_cache_bytes
+                load_manifest(index_dir), shard_id,
+                payload_cache_bytes, decoded_cache_bytes,
             )
 
         def resolve(self, exp: ir.Exp) -> np.ndarray:
             return self.state.resolve(exp)
+
+        def count(self, exp: ir.Exp) -> int:
+            """Match count only — no id array leaves the shard."""
+            return int(self.state.resolve(exp).size)
+
+        def resolve_head(self, exp: ir.Exp, limit: int) -> np.ndarray:
+            """First ``limit`` matching ids (doc order) — bounds the
+            driver merge for unsorted limited queries."""
+            return self.state.resolve(exp)[:limit]
 
         def search_bm25(self, *args, **kw):
             return self.state.search_bm25(*args, **kw)
