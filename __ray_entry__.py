@@ -348,9 +348,12 @@ def _q_near_dup_jaccard(sf_dir: str) -> Any:
 
 
 def _q_near_dup_minhash(sf_dir: str) -> Any:
-    """MinHash+LSH near-dup pairs (rows-only check: LSH recall is
-    probabilistic so no SQL oracle; exactness of the verified scores is
-    covered by tests/test_ops.py)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. The whole
+    funnel (md5-32 base hash -> 128 affine min-hashes -> 32x4 banding
+    -> candidate pairs -> Jaccard >= 0.4) is deterministic, so the
+    oracle replays the IDENTICAL signatures/bands in SQL — the check
+    covers the LSH candidate generation itself, not just the verified
+    scores."""
     from yaii_ray.ops import dedup
 
     got = dedup.near_dup_pairs_minhash(
@@ -361,7 +364,10 @@ def _q_near_dup_minhash(sf_dir: str) -> Any:
 
 
 def _q_simhash_pairs(sf_dir: str) -> Any:
-    """SimHash near-dup pairs at Hamming<=7 (rows-only check)."""
+    """SimHash near-dup pairs at Hamming<=7. The signature (md5 token
+    hash, count-weighted bit votes, strict-majority rule) is
+    deterministic, so the oracle recomputes it exactly in SQL and
+    applies the same ``bit_count(xor(...)) <= 7`` predicate."""
     from yaii_ray.ops import dedup
 
     return dedup.near_dup_pairs_simhash(
@@ -526,7 +532,9 @@ def _q_bpe_token_count(sf_dir: str) -> Any:
 
 
 def _q_lang_id(sf_dir: str) -> Any:
-    """Heuristic language ID (rows-only: heuristic has no SQL twin)."""
+    """Heuristic language ID: argmax function-word hit count over the
+    built-in en/fr/de/es lists, ties/zero -> 'und'. Deterministic, so
+    the oracle spells the same counting rule out in SQL."""
     from yaii_ray.ops import textstats
 
     out = (
@@ -921,7 +929,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5
             FROM documents""",
+        "lang_id": _lang_id_sql(),
+        "near_dup_minhash": _minhash_sql(),
+        "simhash_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, tok, count(*) AS c,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM w WHERE tok <> '' GROUP BY doc_id, tok
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN ((h >> i) & 1::UBIGINT) = 1::UBIGINT
+                              THEN c ELSE -c END) AS v
+              FROM th CROSS JOIN range(64) t(i)
+              GROUP BY doc_id, i
+            ),
+            sg AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                                   ELSE 0::UBIGINT END) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT d.doc_id, coalesce(sg.s, 0::UBIGINT) AS s
+              FROM documents d LEFT JOIN sg USING (doc_id)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+            FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.s, y.s)) <= 7
+            ORDER BY a, b""",
     }
+
+
+def _minhash_sql(tau: float = 0.4, num_perm: int = 128, rows: int = 4, seed: int = 7) -> str:
+    """SQL twin of ops/dedup.near_dup_pairs_minhash: same md5-32 base
+    hash, the SAME (a_j, b_j) affine constants (inlined from
+    minhash_perm_constants — single source of truth), banding by
+    string-agg of the per-band min-hashes, candidates = docs sharing a
+    band, then exact word-3-gram Jaccard >= tau."""
+    from yaii_ray.ops.dedup import P32, minhash_perm_constants
+
+    a, b = minhash_perm_constants(num_perm, seed)
+    perm_rows = ", ".join(
+        f"({j}, {int(a[j])}::UBIGINT, {int(b[j])}::UBIGINT)" for j in range(num_perm)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                          FOR i IN generate_series(1, len(t) - 2)])
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM toks WHERE len(t) > 0
+        ),
+        hb AS (
+          SELECT doc_id, ('0x' || substr(md5(g.g), 1, 8))::UBIGINT AS h
+          FROM sh, unnest(sh.s) AS g(g)
+        ),
+        perm(j, a, b) AS (VALUES {perm_rows}),
+        mh AS (
+          SELECT doc_id, j, min((p.a * h + p.b) % {P32}::UBIGINT) AS v
+          FROM hb CROSS JOIN perm p GROUP BY doc_id, j
+        ),
+        bandk AS (
+          SELECT doc_id, j // {rows} AS band,
+                 string_agg(v::VARCHAR, ':' ORDER BY j) AS bk
+          FROM mh GROUP BY doc_id, band
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandk x JOIN bandk y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+        )
+        SELECT c.a, c.b,
+               round(len(list_intersect(xa.s, yb.s))::DOUBLE
+                     / (len(xa.s) + len(yb.s) - len(list_intersect(xa.s, yb.s))),
+                     6) AS jaccard_r
+        FROM cand c JOIN sh xa ON xa.doc_id = c.a JOIN sh yb ON yb.doc_id = c.b
+        WHERE len(list_intersect(xa.s, yb.s))::DOUBLE
+              / (len(xa.s) + len(yb.s) - len(list_intersect(xa.s, yb.s))) >= {tau}
+        ORDER BY a, b"""
+
+
+def _lang_id_sql() -> str:
+    """SQL twin of ops/textstats.lang_id_batch: per-word function-word
+    hit counts per language, argmax, ties or all-zero -> 'und'. Word
+    lists are inlined from the SAME Python dict so they cannot drift."""
+    from yaii_ray.ops.textstats import _FUNCTION_WORDS
+
+    langs = sorted(_FUNCTION_WORDS)
+    score_cols = ",\n                   ".join(
+        "sum(CASE WHEN wd IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_FUNCTION_WORDS[L])), L
+        )
+        for L in langs
+    )
+    s = [f"s_{L}" for L in langs]
+    best = f"greatest({', '.join(s)})"
+    n_at_max = " + ".join(f"CAST({c} = m AS INT)" for c in s)
+    pick = " ".join(
+        f"WHEN {c} = m THEN '{L}'" for c, L in zip(s[:-1], langs[:-1])
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wd
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id,
+                   {score_cols}
+          FROM w GROUP BY doc_id
+        ),
+        m AS (SELECT *, {best} AS m FROM sc)
+        SELECT doc_id,
+               CASE WHEN m = 0 OR ({n_at_max}) > 1 THEN 'und'
+                    {pick}
+                    ELSE '{langs[-1]}' END AS lang_guess
+        FROM m"""
 
 
 def entry() -> Any:

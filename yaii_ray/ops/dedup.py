@@ -42,6 +42,19 @@ import pyarrow as pa
 from yaii_ray.analysis.tokenizer import tokenize_strings
 
 MERSENNE = (1 << 61) - 1
+# largest 32-bit prime: with 32-bit base hashes and 32-bit (a, b) the
+# affine product stays < 2^64 — exact in BOTH numpy uint64 and DuckDB
+# UBIGINT, which is what makes the MinHash oracle bit-identical
+P32 = 4294967291
+
+
+def minhash_perm_constants(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """The (a_j, b_j) affine-permutation constants, exposed so the SQL
+    oracle can inline the SAME values (single source of truth)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P32, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, P32, size=num_perm, dtype=np.uint64)
+    return a, b
 
 
 def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -72,9 +85,15 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
 # ---- shingling + deterministic hashing ------------------------------
 
 
-def _shingle_hashes(texts: list[str | None], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(
+    texts: list[str | None], n: int = 3, method: str = "pd"
+) -> tuple[np.ndarray, np.ndarray]:
     """Word n-gram shingle SETS per doc -> (u64 hash array, per-doc
-    counts). Deterministic (pandas hash_array fixed key)."""
+    counts). Deterministic. ``method='pd'`` (pandas hash_array, fixed
+    key — full 64-bit, used for exact-Jaccard verification) or
+    ``'md5_32'`` (first 4 md5 bytes — the MinHash base hash, chosen so
+    the DuckDB oracle reproduces it:
+    ``('0x' || substr(md5(g), 1, 8))::UBIGINT``)."""
     toks = [t.split() if t else [] for t in (x.lower() if x else x for x in texts)]
     all_shingles: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
@@ -87,11 +106,18 @@ def _shingle_hashes(texts: list[str | None], n: int = 3) -> tuple[np.ndarray, np
             sh = set()
         counts[i] = len(sh)
         all_shingles.extend(sorted(sh))
-    if all_shingles:
-        hashes = pd.util.hash_array(np.asarray(all_shingles, dtype=object))
+    if not all_shingles:
+        return np.zeros(0, dtype=np.uint64), counts
+    arr = np.asarray(all_shingles, dtype=object)
+    if method == "md5_32":
+        hashes = np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in arr),
+            dtype=np.uint64,
+            count=len(arr),
+        )
     else:
-        hashes = np.zeros(0, dtype=np.uint64)
-    return hashes.astype(np.uint64), counts
+        hashes = pd.util.hash_array(arr).astype(np.uint64)
+    return hashes, counts
 
 
 def minhash_batch(
@@ -103,20 +129,17 @@ def minhash_batch(
     seed: int = 7,
 ) -> pa.Table:
     """-> (id_col, sig: fixed_size_list<uint64>[num_perm]) MinHash
-    signatures, fully vectorized: one (shingles x num_perm) universal
-    hash then segmented min per doc."""
+    signatures, fully vectorized: one (shingles x num_perm) affine
+    hash then segmented min per doc. Base hash md5-32 + 32-bit affine
+    mod P32 — exact integer parity with the DuckDB oracle."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    hashes, counts = _shingle_hashes(batch[col].to_pylist(), n=ngram)
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    hashes, counts = _shingle_hashes(batch[col].to_pylist(), n=ngram, method="md5_32")
+    a, b = minhash_perm_constants(num_perm, seed)
     sigs = np.full((len(ids), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if hashes.size:
-        # (S, P) universal hash in uint64 modular arithmetic (python
-        # ints via object would be slow; use uint64 wraparound * then
-        # mod — wraparound is fine: it is still a deterministic hash
-        # family, just not a textbook universal one)
-        hv = (hashes[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
+        # (S, P) affine hash: 32-bit operands keep products < 2^64 so
+        # uint64 arithmetic is exact (no wraparound ambiguity)
+        hv = (hashes[:, None] * a[None, :] + b[None, :]) % np.uint64(P32)
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         nonempty = counts > 0
         mins = np.minimum.reduceat(hv, starts[nonempty], axis=0)
@@ -281,15 +304,31 @@ def near_dup_pairs_exact(
 # ---- SimHash --------------------------------------------------------
 
 
+def _md5_u64(tokens: np.ndarray) -> np.ndarray:
+    """First 8 bytes of md5 as uint64 per UNIQUE token, broadcast back.
+    Chosen (over a faster non-cryptographic hash) because the DuckDB
+    oracle reproduces it bit-for-bit:
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hu[inv]
+
+
 def simhash_batch(batch: pa.Table, col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash over whitespace-lowered tokens (deterministic)."""
+    """64-bit SimHash over whitespace-lowered tokens (deterministic,
+    md5 token hash -> bit-identical SQL twin; strict-majority bit rule
+    ``votes > 0``)."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     texts = [(t or "").lower().split() for t in batch[col].to_pylist()]
     counts = np.array([len(t) for t in texts], dtype=np.int64)
     flat = [w for ts in texts for w in ts]
     sig = np.zeros(len(ids), dtype=np.uint64)
     if flat:
-        h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        h = _md5_u64(np.asarray(flat, dtype=object))
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         bits = bits * 2 - 1  # +1 / -1 votes
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
