@@ -397,9 +397,12 @@ def _q_near_dup_cluster(sf_dir: str) -> Any:
 
 
 def _q_ann_ivf_topk(sf_dir: str) -> Any:
-    """IVF (coarse-quantized) ANN top-10 for 3 query vectors, nprobe=6
-    of nlist=16 (rows-only: probing is approximate by design; recall
-    vs brute force is asserted in tests/test_ops.py)."""
+    """IVF ANN top-10 for 3 query vectors, nprobe=6 of nlist=16.
+    iters=0 keeps the strided seed vectors as centroids, making the
+    whole index (seeding, cosine-argmax assignment to bucket-
+    partitioned parquet, probe order, top-k tie-breaks) deterministic
+    — the oracle replays it exactly in SQL. Recall vs brute force is
+    additionally asserted in tests/test_ops.py."""
     import pyarrow.parquet as _pq
     import ray.data
 
@@ -408,16 +411,21 @@ def _q_ann_ivf_topk(sf_dir: str) -> Any:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qt = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
     qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
-    ivf = ann.IVFIndex(nlist=16, seed=13).fit(ds)
+    ivf = ann.IVFIndex(nlist=16, iters=0, seed=13).fit(ds)
     got = ivf.search(qm, k=10, nprobe=6)
     got["cosine_r"] = got["cosine"].round(6)
+    got["query"] = got["query"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
     return got[["query", "vec_id", "rank", "cosine_r"]]
 
 
 def _q_ann_lsh_topk(sf_dir: str) -> Any:
-    """Random-hyperplane LSH ANN top-10 for 3 query vectors, multi-probe
-    (rows-only: bucketing is approximate by design; planted-neighbor
-    recall is asserted in tests/test_ops.py)."""
+    """LSH ANN top-10 for 3 query vectors: 8 data-derived hyperplanes
+    (strided corpus rows — deterministic), signature-partitioned
+    parquet buckets, Hamming<=1 probe ball. Every step has an exact
+    SQL twin; the oracle replays signatures, probing and top-k.
+    Planted-neighbor recall is additionally asserted in
+    tests/test_ops.py."""
     import pyarrow.parquet as _pq
     import ray.data
 
@@ -429,8 +437,8 @@ def _q_ann_lsh_topk(sf_dir: str) -> Any:
     # bucket-count chosen for the sf corpus size (~2^8 buckets over
     # ~10^3-10^4 vectors keeps buckets a few vectors deep); at scale
     # raise nbits so bucket size stays bounded
-    lsh = ann.LSHIndex(nbits=8, seed=29).fit(ds)
-    got = lsh.search(qm, k=10, probes=16)
+    lsh = ann.LSHIndex(nbits=8, planes="data").fit(ds)
+    got = lsh.search(qm, k=10, probe_hamming=1)
     got["cosine_r"] = got["cosine"].round(6)
     got["query"] = got["query"].astype("int64")
     got["rank"] = got["rank"].astype("int64")
@@ -931,6 +939,80 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "lang_id": _lang_id_sql(),
         "near_dup_minhash": _minhash_sql(),
+        "ann_ivf_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            n AS (SELECT count(*) AS n FROM v),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+              FROM (SELECT vec_id, emb FROM v, n
+                    WHERE vec_id % greatest(n.n // 16, 1) = 0
+                    ORDER BY vec_id LIMIT 16)
+            ),
+            assign AS (
+              SELECT vec_id, emb, cid FROM (
+                SELECT e.vec_id, e.emb, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.emb, c.emb) DESC,
+                                  c.cid ASC) AS rn
+                FROM v e CROSS JOIN cent c
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query, emb FROM v WHERE vec_id < 3),
+            probes AS (
+              SELECT query, cid FROM (
+                SELECT q.query, c.cid,
+                       row_number() OVER (
+                         PARTITION BY q.query
+                         ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                                  c.cid ASC) AS rn
+                FROM q CROSS JOIN cent c
+              ) WHERE rn <= 6
+            ),
+            ranked AS (
+              SELECT q.query, a.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query
+                       ORDER BY list_cosine_similarity(a.emb, q.emb) DESC,
+                                a.vec_id ASC) AS rank,
+                     round(list_cosine_similarity(a.emb, q.emb), 6) AS cosine_r
+              FROM q JOIN probes p ON p.query = q.query
+                     JOIN assign a ON a.cid = p.cid
+            )
+            SELECT query, vec_id, rank, cosine_r FROM ranked WHERE rank <= 10""",
+        "ann_lsh_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            n AS (SELECT count(*) AS n FROM v),
+            planes AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid, emb
+              FROM (SELECT vec_id, emb FROM v, n
+                    WHERE vec_id % greatest(n.n // 8, 1) = 1
+                    ORDER BY vec_id LIMIT 8)
+            ),
+            sigs AS (
+              SELECT e.vec_id,
+                     CAST(sum(CASE WHEN list_dot_product(e.emb, p.emb) > 0
+                                   THEN (1::UBIGINT << p.pid)
+                                   ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+              FROM v e CROSS JOIN planes p GROUP BY e.vec_id
+            ),
+            q AS (SELECT s.vec_id AS query, v.emb, s.sig
+                  FROM sigs s JOIN v USING (vec_id) WHERE s.vec_id < 3),
+            cand AS (
+              SELECT q.query, q.emb AS qemb, e.vec_id, e.emb
+              FROM q JOIN sigs s ON bit_count(xor(q.sig, s.sig)) <= 1
+                     JOIN v e ON e.vec_id = s.vec_id
+            ),
+            ranked AS (
+              SELECT query, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query
+                       ORDER BY list_cosine_similarity(emb, qemb) DESC,
+                                vec_id ASC) AS rank,
+                     round(list_cosine_similarity(emb, qemb), 6) AS cosine_r
+              FROM cand
+            )
+            SELECT query, vec_id, rank, cosine_r FROM ranked WHERE rank <= 10""",
         "simhash_pairs": """
             WITH w AS (
               SELECT doc_id,

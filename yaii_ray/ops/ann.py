@@ -7,22 +7,40 @@
   at scale (no shuffle, no materialization).
 - :class:`IVFIndex` — the scale path (inverted-file indexing à la
   Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
-  Search", TPAMI 2011 — coarse quantizer only, no PQ compression
-  here): k-means coarse quantizer
-  (seeded, trained on a driver-side sample), assignments computed by a
-  vectorized ``map_batches`` pass and written as bucket-partitioned
-  state; queries probe the ``nprobe`` nearest centroids only. Exact
-  within probed buckets, so recall -> 1 as nprobe -> nlist (tested
-  against brute in tests/test_ops.py).
+  Search", TPAMI 2011 — coarse quantizer only, no PQ compression).
+  ``fit`` holds ONLY the ``nlist`` centroids on the driver: seeding is
+  a strided filtered read (``nlist`` rows), optional Lloyd refinement
+  runs on a bounded sample (``train_size`` rows, never the full set),
+  and assignment is a vectorized ``map_batches`` pass that streams the
+  dataset into bucket-partitioned Parquet
+  (``<path>/centroid=<id>/``). ``search`` reads ONLY the probed
+  buckets back as a Ray dataset — per-block local top-k, driver merge
+  of ≤ k × n_blocks rows — so neither fit nor search ever
+  materializes the corpus in one process.
+- :class:`LSHIndex` — random-hyperplane LSH (Charikar, STOC 2002)
+  with the same disk layout, partitioned by signature
+  (``<path>/sig_bucket=<sig>/``). Probing is either margin-ordered
+  multi-probe (Lv et al., VLDB 2007) or a deterministic
+  Hamming-radius ball (``probe_hamming=``), the latter chosen for the
+  SQL-oracled driver entry.
+
+With ``iters=0`` / ``planes="data"`` every step (strided seeding,
+cosine argmax assignment, sign-of-dot signatures, probing, top-k
+tie-breaks) is a deterministic function of the table — which is what
+lets the DuckDB oracle in ``__ray_entry__`` replay the index
+bit-for-bit.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from yaii_ray.ops.dedup import _embedding_matrix, _normalize, _vec_matrix
+from yaii_ray.ops.dedup import _normalize, _vec_matrix
 
 
 def brute_topk(
@@ -57,9 +75,16 @@ def brute_topk(
         return pa.table(rows)
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return _merge_topk(parts, k)
+
+
+def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver merge of per-block top-k partials (≤ k × n_blocks rows)."""
     out = []
-    for q, g in parts.groupby("query"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
+    for _, g in parts.groupby("query"):
+        g = g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1)
         out.append(g)
@@ -70,148 +95,293 @@ def brute_topk(
     )
 
 
-class IVFIndex:
-    """Inverted-file ANN: seeded k-means centroids + bucketed vectors.
+def _strided_rows(
+    ds, id_col: str, vec_col: str, stride: int, offset: int, limit: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """First ``limit`` rows (by id) with ``id % stride == offset`` —
+    a deterministic O(limit)-byte seed read; the only rows that ever
+    reach the driver during fit."""
 
-    Built ONCE (driver samples ≤ ``train_size`` vectors for k-means;
-    assignment is a streaming map_batches), held in memory here; at
-    cluster scale each bucket would be its own parquet partition /
-    shard actor, probed the same way.
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.select([id_col, vec_col]).filter(
+            pa.array(ids % stride == offset)
+        )
+
+    t = pa.Table.from_pylist(
+        ds.map_batches(keep, batch_format="pyarrow").take_all()
+    )
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:limit]
+    return ids[order], _vec_matrix(t[vec_col])[order]
+
+
+def _bucket_files(path: str, key: str, values) -> list[str]:
+    """Parquet files of the probed hive partitions only (read_parquet
+    wants files, not directories, when given an explicit list)."""
+    import glob
+
+    out: list[str] = []
+    for v in values:
+        out.extend(sorted(glob.glob(os.path.join(path, f"{key}={v}", "*.parquet"))))
+    return out
+
+
+class IVFIndex:
+    """Inverted-file ANN over bucket-partitioned Parquet.
+
+    Driver-resident state after ``fit``: the (nlist × dim) centroid
+    matrix and the store path — nothing else. ``iters=0`` keeps the
+    strided seed vectors as centroids (deterministic, SQL-replayable);
+    ``iters>0`` runs spherical Lloyd refinement on a sample of at most
+    ``train_size`` vectors.
     """
 
-    def __init__(self, nlist: int = 16, iters: int = 10, seed: int = 13, train_size: int = 100_000):
+    def __init__(
+        self,
+        nlist: int = 16,
+        iters: int = 0,
+        seed: int = 13,
+        train_size: int = 100_000,
+        path: str | None = None,
+    ):
         self.nlist = nlist
         self.iters = iters
         self.seed = seed
         self.train_size = train_size
+        self.path = path or tempfile.mkdtemp(prefix="yaii_ivf_")
 
     def fit(self, ds, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
-        mat, ids = _embedding_matrix(ds, id_col, vec_col)
-        rng = np.random.default_rng(self.seed)
-        sample = mat[rng.choice(mat.shape[0], min(self.train_size, mat.shape[0]), replace=False)]
-        C = sample[rng.choice(sample.shape[0], min(self.nlist, sample.shape[0]), replace=False)].copy()
-        for _ in range(self.iters):
-            assign = np.argmax(sample @ C.T, axis=1)
-            for j in range(C.shape[0]):
-                m = assign == j
-                if m.any():
-                    C[j] = sample[m].mean(axis=0)
+        import ray
+
+        n = ds.count()
+        stride = max(n // self.nlist, 1)
+        _, seeds = _strided_rows(ds, id_col, vec_col, stride, 0, self.nlist)
+        C = seeds
+        if self.iters > 0:
+            sample = np.concatenate(
+                [
+                    _vec_matrix(b[vec_col])
+                    for b in ds.limit(self.train_size).iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+            )
+            sample = _normalize(sample)
             C = _normalize(C)
-        self.centroids = C
-        assign = np.argmax(mat @ C.T, axis=1)
-        order = np.argsort(assign, kind="stable")
-        self._ids = ids[order]
-        self._vecs = mat[order]
-        self._bounds = np.searchsorted(assign[order], np.arange(C.shape[0] + 1))
+            for _ in range(self.iters):
+                assign = np.argmax(sample @ C.T, axis=1)
+                for j in range(C.shape[0]):
+                    m = assign == j
+                    if m.any():
+                        C[j] = sample[m].mean(axis=0)
+                C = _normalize(C)
+        self.centroids = _normalize(C)
+        self._id_col, self._vec_col = id_col, vec_col
+        cref = ray.put(self.centroids)
+
+        def assign_batch(b: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            V = _normalize(_vec_matrix(b[vec_col]))
+            # argmax returns the FIRST max -> lowest centroid id on
+            # ties, matching the oracle's (cosine DESC, cid ASC)
+            a = np.argmax(V @ Cm.T, axis=1).astype(np.int32)
+            return b.select([id_col, vec_col]).append_column(
+                "centroid", pa.array(a)
+            )
+
+        ds.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+            self.path, partition_cols=["centroid"]
+        )
         return self
 
-    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-        out = []
+    def _probe_lists(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
         cd = Q @ self.centroids.T
+        # stable argsort of -cd -> ties broken by lower centroid id
+        return np.argsort(-cd, axis=1, kind="stable")[:, :nprobe]
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        import ray
+        import ray.data
+
+        Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        probes = self._probe_lists(Q, min(nprobe, self.nlist))
+        allowed = np.zeros((Q.shape[0], self.nlist), dtype=bool)
         for qi in range(Q.shape[0]):
-            probes = np.argsort(-cd[qi], kind="stable")[:nprobe]
-            segs = [
-                (self._ids[self._bounds[p] : self._bounds[p + 1]],
-                 self._vecs[self._bounds[p] : self._bounds[p + 1]])
-                for p in probes
-            ]
-            ids = np.concatenate([s[0] for s in segs]) if segs else np.zeros(0, np.int64)
-            V = np.concatenate([s[1] for s in segs]) if segs else np.zeros((0, Q.shape[1]))
-            if not len(ids):
-                continue
-            sims = V @ Q[qi]
-            order = np.lexsort((ids, -sims))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query": qi,
-                        "vec_id": ids[order],
-                        "rank": np.arange(1, len(order) + 1),
-                        "cosine": sims[order],
-                    }
-                )
+            allowed[qi, probes[qi]] = True
+        dirs = _bucket_files(self.path, "centroid", np.unique(probes))
+        if not dirs:
+            return pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
+        ref = ray.put((Q, self.centroids, allowed))
+        id_col, vec_col = self._id_col, self._vec_col
+
+        def local_topk(b: pa.Table) -> pa.Table:
+            Qm, Cm, ok = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            V = _normalize(_vec_matrix(b[vec_col]))
+            # re-derive each row's bucket (cheap argmax vs reading the
+            # hive partition value) so one union read serves every
+            # query's distinct probe set
+            a = np.argmax(V @ Cm.T, axis=1)
+            sims = Qm @ V.T
+            sims[~ok[:, a]] = -np.inf
+            nq, nb = sims.shape
+            kk = min(k, nb)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qq = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vv = ids[part.ravel()]
+            cc = np.take_along_axis(sims, part, axis=1).ravel()
+            fin = np.isfinite(cc)
+            return pa.table(
+                {"query": qq[fin], "vec_id": vv[fin], "cosine": cc[fin]}
             )
-        return (
-            pd.concat(out).reset_index(drop=True)
-            if out
-            else pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
+
+        parts = (
+            ray.data.read_parquet(dirs, columns=[id_col, vec_col])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas()
         )
+        return _merge_topk(parts, k)
 
 
 class LSHIndex:
-    """Random-hyperplane LSH for cosine ANN (Charikar, "Similarity
-    Estimation Techniques from Rounding Algorithms", STOC 2002):
-    signature bit i = sign(v . h_i); vectors bucketed by signature.
-    Queries probe the query's own bucket plus the ``probes-1`` buckets
-    reached by flipping the lowest-|margin| signature bits (multi-probe
-    LSH, Lv et al., VLDB 2007), then exact-rescore candidates.
+    """Random-hyperplane LSH over signature-partitioned Parquet.
 
-    Like :class:`IVFIndex`, held in memory here; the scale path writes
-    one parquet partition per signature prefix and probes those files /
-    shard actors the same way.
+    ``planes="data"``: hyperplanes are the corpus vectors at a strided
+    id offset (deterministic, SQL-replayable). ``planes="random"``:
+    seeded Gaussian planes. Driver-resident state after ``fit``: the
+    (nbits × dim) plane matrix and the store path.
 
-    ``search`` returns NO rows for a query whose probed buckets are all
-    empty (possible for out-of-corpus vectors with few probes) — group
-    per-query results with that in mind.
+    ``search`` returns NO rows for a query whose probed buckets are
+    all empty (possible for out-of-corpus vectors with few probes) —
+    group per-query results with that in mind.
     """
 
-    def __init__(self, nbits: int = 12, seed: int = 29):
+    def __init__(
+        self,
+        nbits: int = 12,
+        seed: int = 29,
+        planes: str = "random",
+        path: str | None = None,
+    ):
         self.nbits = nbits
         self.seed = seed
+        self.planes_mode = planes
+        self.path = path or tempfile.mkdtemp(prefix="yaii_lsh_")
 
     def fit(self, ds, id_col: str = "vec_id", vec_col: str = "embedding") -> "LSHIndex":
-        mat, ids = _embedding_matrix(ds, id_col, vec_col)
-        rng = np.random.default_rng(self.seed)
-        self.planes = rng.standard_normal((self.nbits, mat.shape[1]))
-        sigs = self._signature(mat)
-        order = np.argsort(sigs, kind="stable")
-        self._ids = ids[order]
-        self._vecs = mat[order]
-        self._sigs = sigs[order]
+        import ray
+
+        if self.planes_mode == "data":
+            n = ds.count()
+            stride = max(n // self.nbits, 1)
+            # offset 1 decorrelates the planes from low-id query rows
+            _, self.planes = _strided_rows(ds, id_col, vec_col, stride, 1, self.nbits)
+        else:
+            rng = np.random.default_rng(self.seed)
+            dim = len(ds.take(1)[0][vec_col])
+            self.planes = rng.standard_normal((self.nbits, dim))
+        self._id_col, self._vec_col = id_col, vec_col
+        pref = ray.put(self.planes)
+        nbits = self.nbits
+
+        def sig_batch(b: pa.Table) -> pa.Table:
+            P = ray.get(pref)
+            # RAW dot sign (no normalization) — positive scaling never
+            # changes the sign, and raw dots are what the SQL twin
+            # (list_dot_product > 0) computes
+            V = _vec_matrix(b[vec_col])
+            bits = (V @ P.T) > 0
+            sig = (
+                bits.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)
+            ).sum(axis=1).astype(np.int64)
+            return b.select([id_col, vec_col]).append_column(
+                "sig_bucket", pa.array(sig)
+            )
+
+        ds.map_batches(sig_batch, batch_format="pyarrow").write_parquet(
+            self.path, partition_cols=["sig_bucket"]
+        )
         return self
 
     def _signature(self, m: np.ndarray) -> np.ndarray:
         bits = (m @ self.planes.T) > 0
-        return (bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum(axis=1)
-
-    def search(self, queries: np.ndarray, k: int = 10, probes: int = 8) -> pd.DataFrame:
-        Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-        margins = Q @ self.planes.T  # signed distance to each plane
-        out = []
-        for qi in range(Q.shape[0]):
-            base = np.uint64(
-                ((margins[qi] > 0).astype(np.uint64)
-                 << np.arange(self.nbits, dtype=np.uint64)).sum()
-            )
-            flip_order = np.argsort(np.abs(margins[qi]), kind="stable")
-            cand_sigs = [base]
-            for b in flip_order[: max(0, probes - 1)]:
-                cand_sigs.append(base ^ (np.uint64(1) << np.uint64(b)))
-            idxs = []
-            for s in cand_sigs:
-                a = np.searchsorted(self._sigs, s, side="left")
-                z = np.searchsorted(self._sigs, s, side="right")
-                if z > a:
-                    idxs.append(np.arange(a, z))
-            if not idxs:
-                continue
-            sel = np.concatenate(idxs)
-            ids = self._ids[sel]
-            sims = self._vecs[sel] @ Q[qi]
-            order = np.lexsort((ids, -sims))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query": qi,
-                        "vec_id": ids[order],
-                        "rank": np.arange(1, len(order) + 1),
-                        "cosine": sims[order],
-                    }
-                )
-            )
         return (
-            pd.concat(out).reset_index(drop=True)
-            if out
-            else pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
+            bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)
+        ).sum(axis=1).astype(np.int64)
+
+    def _probe_sigs(
+        self, raw_q: np.ndarray, probes: int, probe_hamming: int | None
+    ) -> list[np.ndarray]:
+        margins = raw_q @ self.planes.T
+        base = self._signature(raw_q)
+        out = []
+        for qi in range(raw_q.shape[0]):
+            if probe_hamming is not None:
+                # deterministic Hamming ball (SQL twin:
+                # bit_count(xor(sig, qsig)) <= r)
+                sigs = [
+                    s
+                    for s in range(1 << self.nbits)
+                    if bin(s ^ int(base[qi])).count("1") <= probe_hamming
+                ]
+                out.append(np.array(sigs, dtype=np.int64))
+            else:
+                flip_order = np.argsort(np.abs(margins[qi]), kind="stable")
+                sigs = [int(base[qi])]
+                for bpos in flip_order[: max(0, probes - 1)]:
+                    sigs.append(int(base[qi]) ^ (1 << int(bpos)))
+                out.append(np.array(sigs, dtype=np.int64))
+        return out
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        probes: int = 8,
+        probe_hamming: int | None = None,
+    ) -> pd.DataFrame:
+        import ray
+        import ray.data
+
+        raw_q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        Q = _normalize(raw_q)
+        probe_sigs = self._probe_sigs(raw_q, probes, probe_hamming)
+        lut = np.zeros((raw_q.shape[0], 1 << self.nbits), dtype=bool)
+        for qi, sigs in enumerate(probe_sigs):
+            lut[qi, sigs] = True
+        union = np.unique(np.concatenate(probe_sigs))
+        dirs = _bucket_files(self.path, "sig_bucket", union)
+        if not dirs:
+            return pd.DataFrame({"query": [], "vec_id": [], "rank": [], "cosine": []})
+        ref = ray.put((Q, self.planes, lut))
+        id_col, vec_col, nbits = self._id_col, self._vec_col, self.nbits
+
+        def local_topk(b: pa.Table) -> pa.Table:
+            Qm, P, ok = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            V = _vec_matrix(b[vec_col])
+            bits = (V @ P.T) > 0
+            sig = (
+                bits.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)
+            ).sum(axis=1).astype(np.int64)
+            Vn = _normalize(V)
+            sims = Qm @ Vn.T
+            sims[~ok[:, sig]] = -np.inf
+            nq, nb = sims.shape
+            kk = min(k, nb)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qq = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vv = ids[part.ravel()]
+            cc = np.take_along_axis(sims, part, axis=1).ravel()
+            fin = np.isfinite(cc)
+            return pa.table(
+                {"query": qq[fin], "vec_id": vv[fin], "cosine": cc[fin]}
+            )
+
+        parts = (
+            ray.data.read_parquet(dirs, columns=[id_col, vec_col])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas()
         )
+        return _merge_topk(parts, k)
