@@ -170,3 +170,34 @@ def test_two_phase_sorted_topk(ray_session, tmp_path):
         assert t["ts"].to_pylist() == t2["ts"].to_pylist()
     finally:
         idx.close()
+
+
+def test_per_row_error_isolation(ray_session, tmp_path):
+    """M4 (reference base-inverted-index.ts:236-268): a row whose
+    termization throws is indexed as an EMPTY doc — the build
+    completes, the drop count lands in metrics, and good rows index
+    normally. NaN in a float (NUMBER-routed) field makes the
+    vectorized Arrow cast raise, exercising the bisecting fallback."""
+    t = pa.table(
+        {
+            "text": [f"alpha bravo row{i}" for i in range(40)],
+            "score": [float("nan") if i in (7, 23) else float(i) for i in range(40)],
+        }
+    )
+    out = str(tmp_path / "idx")
+    m: dict = {}
+    build_index_from_table(
+        t, out, IndexConfig(num_shards=1), target_unit_rows=20, metrics=m
+    )
+    assert m["dropped_rows"] == 2
+    idx = Index(out)
+    try:
+        # bad rows are present as docs but carry no postings at all
+        hits = idx.resolve(dsl.token("alpha", "text"))
+        assert sorted(hits.tolist()) == [i for i in range(40) if i not in (7, 23)]
+        assert idx.resolve(dsl.number(23, "score")).tolist() == []
+        assert idx.resolve(dsl.number(8, "score")).tolist() == [8]
+        st = idx.manifest["stats"]
+        assert st["N"] == 40 and st["dropped_rows"] == 2
+    finally:
+        idx.close()

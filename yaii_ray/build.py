@@ -194,12 +194,13 @@ def build_index(
 
     # ---- global stats: sum the per-unit sidecars (no extra Ray job)
     t0 = time.monotonic()
-    stats: dict = {"N": 0, "fields": {}}
+    stats: dict = {"N": 0, "fields": {}, "dropped_rows": 0}
     for m in seg_manifests:
         for p in m["docs_files"]:
             with open(p + ".stats.json") as f:
                 s = json.load(f)
             stats["N"] += s["n"]
+            stats["dropped_rows"] += s.get("errors", 0)
             for fname, fs in s["fields"].items():
                 agg = stats["fields"].setdefault(
                     fname, {"doc_count": 0, "sum_dl": 0}
@@ -207,6 +208,9 @@ def build_index(
                 agg["doc_count"] += fs["doc_count"]
                 agg["sum_dl"] += fs["sum_dl"]
     metrics["stats_sec"] = round(time.monotonic() - t0, 3)
+    # rows whose termization raised and were indexed as EMPTY docs
+    # (per-row error isolation, stages/partials.py)
+    metrics["dropped_rows"] = stats["dropped_rows"]
 
     # ---- global term stats: single segment -> use its termstats dir
     # directly; multiple segments -> one tiny merge groupby over the

@@ -114,6 +114,47 @@ class BuildPartials:
             )
         return pa.concat_tables(out)
 
+    @staticmethod
+    def _extract_isolating(
+        table: pa.Table, doc_ids: np.ndarray, cfg: IndexConfig
+    ) -> tuple[pa.Table, dict, int]:
+        """Slow path after a vectorized-extraction failure: bisect the
+        batch to locate the k offending rows (O(k log n) probe slices),
+        index them as EMPTY docs (no postings, dl=0 — the reference's
+        try/catch -> {} fallback), and re-run the vectorized extraction
+        once on the good rows."""
+        bad: list[int] = []
+
+        def probe(lo: int, hi: int) -> None:
+            if lo >= hi:
+                return
+            sl = table.slice(lo, hi - lo)
+            try:
+                termize.extract_postings(
+                    sl, doc_ids[lo:hi], cfg
+                )
+                return
+            except Exception:
+                if hi - lo == 1:
+                    bad.append(lo)
+                    return
+                mid = (lo + hi) // 2
+                probe(lo, mid)
+                probe(mid, hi)
+
+        n = table.num_rows
+        probe(0, n)
+        good = np.setdiff1d(np.arange(n, dtype=np.int64), np.array(bad, dtype=np.int64))
+        partials, dl_good = termize.extract_postings(
+            table.take(pa.array(good)), doc_ids[good], cfg
+        )
+        dl_cols = {}
+        for fname, dl in dl_good.items():
+            full = np.zeros(n, dtype=dl.dtype)
+            full[good] = dl
+            dl_cols[fname] = full
+        return partials, dl_cols, len(bad)
+
     def _one_unit(
         self, unit: int, path: str, rg_lo: int, rg_hi: int, doc_base: int
     ) -> pa.Table:
@@ -128,7 +169,17 @@ class BuildPartials:
         n = table.num_rows
         doc_ids = (doc_base + np.arange(n, dtype=np.uint64)).astype(np.uint64)
 
-        partials, dl_cols = termize.extract_postings(table, doc_ids, cfg)
+        # per-row error isolation (reference M4 semantics: a doc whose
+        # termization throws is indexed as EMPTY and the build goes on,
+        # base-inverted-index.ts:236-268). Zero cost unless the
+        # vectorized extraction actually raises.
+        try:
+            partials, dl_cols = termize.extract_postings(table, doc_ids, cfg)
+            n_errors = 0
+        except Exception:
+            partials, dl_cols, n_errors = self._extract_isolating(
+                table, doc_ids, cfg
+            )
 
         dest = docs_part_path(self.docs_dir, unit)
         if not os.path.exists(dest):
@@ -148,6 +199,7 @@ class BuildPartials:
 
         stats = {
             "n": int(n),
+            "errors": int(n_errors),
             "fields": {
                 f: {"doc_count": int((dl > 0).sum()), "sum_dl": int(dl.sum())}
                 for f, dl in dl_cols.items()

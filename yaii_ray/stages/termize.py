@@ -306,10 +306,21 @@ def extract_postings(
             if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
                 offs = c.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
                 cnts = np.diff(offs - offs[0])
-                toks = get_analyzer(config.all_analyzer)(c.values)
+                vals = c.values
             else:
                 cnts = np.ones(n, dtype=np.int64)
-                toks = get_analyzer(config.all_analyzer)(c)
+                vals = c
+            if not (
+                pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+            ):
+                if fc.kind == KIND_TEXT:
+                    # default-config value-type routing (same rule as
+                    # _column_tokens): a non-string column under the
+                    # default TEXT config is a number/bool/keyword
+                    # field — it has no text for the _all analyzer
+                    continue
+                vals = pa.compute.cast(vals, pa.string())
+            toks = get_analyzer(config.all_analyzer)(vals)
             toffs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             tcounts = np.diff(toffs - toffs[0])
             value_doc = np.repeat(np.arange(cnts.size, dtype=np.int64), cnts)
