@@ -372,21 +372,61 @@ def plan(query: dsl.Query) -> ir.Exp:
     return ir.build_expression(query)
 
 
+def collation_base_key(s: str) -> str:
+    """Sort key approximating ICU primary strength (the reference's
+    ``Intl.Collator(..., sensitivity: 'base')``, utils.ts:41-47):
+    NFKD-decompose, drop combining marks (accents), casefold. 'Äpfel'
+    -> 'apfel', 'éclair'/'Eclair' -> 'eclair', 'ß' -> 'ss'. Known
+    approximation: non-Latin scripts and punctuation keep codepoint
+    order rather than full ICU root-collation weights."""
+    import unicodedata
+
+    return "".join(
+        ch
+        for ch in unicodedata.normalize("NFKD", s)
+        if not unicodedata.combining(ch)
+    ).casefold()
+
+
+def _sort_value(v):
+    """Reference comparator operand: a multi-valued field sorts by its
+    FIRST element (utils.ts:128-135 ``Array.isArray(...) ? el[0]``)."""
+    import numpy as _np
+
+    if isinstance(v, (list, _np.ndarray)):
+        return v[0] if len(v) else None
+    return v
+
+
 def sort_pandas(df, clauses: list[dsl.SortClause]):
     for cl in reversed(clauses):
+        col = cl.field
+        vals = df[cl.field]
+        if vals.dtype == object:
+            vals = vals.map(_sort_value)
+            if getattr(cl, "collation", None) == "base":
+                vals = vals.map(
+                    lambda v: collation_base_key(v) if isinstance(v, str) else v
+                )
+            col = "__collation_key__"
+            df = df.assign(**{col: vals})
         df = df.sort_values(
-            cl.field,
+            col,
             ascending=(cl.dir == dsl.ASC),
             na_position=("first" if cl.dir == dsl.ASC else "last"),
             kind="stable",
         )
+        if col != cl.field:
+            df = df.drop(columns=[col])
     return df
 
 
 def sort_table(table: pa.Table, clauses: list[dsl.SortClause]) -> pa.Table:
     """Multi-clause stable sort with the reference's null semantics:
     missing values are smallest (undefined < everything,
-    ``utils.ts:122-184``), so DESC puts them last. ICU collation is
-    approximated by codepoint order (SURVEY.md §7 known risk)."""
+    ``utils.ts:122-184``), so DESC puts them last. String clauses sort
+    by codepoint by default; ``SortClause(collation="base")`` applies
+    the Intl.Collator-equivalent case/accent-insensitive order
+    (:func:`collation_base_key`)."""
     df = sort_pandas(table.to_pandas(), clauses)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

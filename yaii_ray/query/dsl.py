@@ -122,5 +122,13 @@ DESC = "desc"
 
 @dataclass(frozen=True)
 class SortClause:
+    """``collation=None`` compares strings by codepoint; ``"base"``
+    approximates the reference's ``Intl.Collator(['en','fr','de'],
+    sensitivity:'base', caseFirst:'lower')`` (utils.ts:41-47): case
+    and accents are ignored for ordering, and base-equal strings keep
+    stable input order (at 'base' sensitivity the ICU comparator
+    returns 0 for them, and the reference's sort is stable)."""
+
     field: str
     dir: str = ASC
+    collation: str | None = None
