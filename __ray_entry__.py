@@ -589,9 +589,7 @@ def _q_join_lineitem_part(sf_dir: str) -> Any:
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
-    ).map_batches(
-        lambda b: b.rename(columns={"l_partkey": "p_partkey"}), batch_format="pandas"
-    )
+    ).rename_columns({"l_partkey": "p_partkey"})
     part = ray.data.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
     )

@@ -5,8 +5,9 @@ SURVEY.md §2.8). Three scale shapes from the Ray guide:
 - :func:`broadcast_join` — small side ``ray.put`` once, pandas merge
   per batch. No shuffle. THE default for dimension tables.
 - :func:`partitioned_hash_join` — both sides large: tag + bucket by
-  key hash, one ``groupby(bucket)`` shuffle, per-bucket pandas merge.
-  Salt/bucket count is explicit (skew handling = raise ``nbuckets``).
+  key hash, one ``groupby(bucket)`` shuffle, per-bucket Arrow hash
+  join. Salt/bucket count is explicit (skew handling = raise
+  ``nbuckets``).
 - :func:`asof_join` — per-key ordered backward as-of lookup
   (sort within key groups + ``searchsorted``), strict inequality,
   deterministic tie-break by the secondary id column.
@@ -32,6 +33,32 @@ def broadcast_join(ds, small: pd.DataFrame, on: str, how: str = "inner"):
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as pyarrow. An upstream pandas ``map_batches``
+    yields a PandasBlockSchema (numpy dtypes) — convert what converts
+    cleanly; ``object`` dtype is ambiguous (str? list?) so fall back to
+    the first block's real Arrow schema via ``limit(1)``."""
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    try:
+        return pa.schema(
+            [(n, pa.from_numpy_dtype(t)) for n, t in zip(s.names, s.types)]
+        )
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.Table.from_pandas(
+            ds.limit(1).to_pandas(), preserve_index=False
+        ).schema
+
+
+_PA_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
+
 def partitioned_hash_join(
     left, right, on: str, nbuckets: int = 32, how: str = "inner",
     left_cols: list[str] | None = None, right_cols: list[str] | None = None,
@@ -41,40 +68,58 @@ def partitioned_hash_join(
     Both sides get ``bucket = hash(key) % nbuckets`` and a side tag,
     are unioned, and each bucket joins its two sides in one
     ``map_groups`` call — ONE shuffle total, bucket size bounded by
-    ``nbuckets`` (salt hot keys by raising it)."""
+    ``nbuckets`` (salt hot keys by raising it).
 
-    lnames = list(left_cols or left.schema().names)
-    rnames = list(right_cols or right.schema().names)
-    # union() requires one schema: pad each side with the other side's
-    # columns as nulls, split again inside the bucket join
-    all_cols = lnames + [c for c in rnames if c not in lnames]
+    Arrow-native end to end: the tag stage prunes each side to its
+    requested columns and pads to the union schema with ``pa.nulls``
+    (a validity bitmap, not materialized values — the shuffle carries
+    each side at roughly its own width), and each bucket joins via
+    ``pyarrow.Table.join``. Non-key column names must be disjoint."""
 
-    def tag(side: str, cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[cols].copy()
-            for c in all_cols:
-                if c not in b.columns:
-                    b[c] = None
-            b = b[all_cols]
-            b["__side"] = side
-            b["__bucket"] = (
-                pd.util.hash_array(b[on].to_numpy()) % np.uint64(nbuckets)
-            ).astype(np.int64)
-            return b
+    jt = _PA_JOIN_TYPE[how]
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lnames = list(left_cols or lschema.names)
+    rnames = list(right_cols or rschema.names)
+    dup = (set(lnames) & set(rnames)) - {on}
+    if dup:
+        raise ValueError(f"non-key columns on both sides: {sorted(dup)}")
+    types = {c: lschema.field(c).type for c in lnames}
+    types.update({c: rschema.field(c).type for c in rnames})
+    all_cols = lnames + [c for c in rnames if c != on]
+
+    def tag(side: int, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = [
+                t.column(c) if c in own else pa.nulls(n, type=types[c])
+                for c in all_cols
+            ]
+            key = t.column(on).to_numpy(zero_copy_only=False)
+            bucket = (pd.util.hash_array(key) % np.uint64(nbuckets)).astype(
+                np.int64
+            )
+            arrays += [pa.array(np.full(n, side, dtype=np.int8)), pa.array(bucket)]
+            return pa.table(arrays, names=all_cols + ["__side", "__bucket"])
 
         return fn
 
-    lt = left.map_batches(tag("l", lnames), batch_format="pandas")
-    rt = right.map_batches(tag("r", rnames), batch_format="pandas")
+    lt = left.map_batches(tag(0, lnames), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, rnames), batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][lnames]
-        r = g[g["__side"] == "r"][rnames]
-        if how == "inner" and (not len(l) or not len(r)):
-            return l.iloc[0:0].merge(r.iloc[0:0], on=on)
-        return l.merge(r, on=on, how=how)
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return lt.union(rt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+        side = g.column("__side")
+        l = g.filter(pc.equal(side, 0)).select(lnames)
+        r = g.filter(pc.equal(side, 1)).select(rnames)
+        return l.join(r, keys=on, join_type=jt).select(all_cols)
+
+    return (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
 
 
 def asof_join(
