@@ -248,16 +248,22 @@ def _q_filtered_scan_agg(sf_dir: str) -> Any:
 def _q_lineitem_group_agg(sf_dir: str) -> Any:
     """Partial-aggregation groupby over lineitem (G4 / pre-agg at scale)."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    from yaii_ray.ops.grouped import grouped_aggregate
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Count(alias_name="n"),
+    out = grouped_aggregate(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        specs=[
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_price"),
+            (None, "count", "n"),
+        ],
+        final_partitions=1,
     )
     t = out.to_pandas()
     t["sum_qty"] = t["sum_qty"].round(2)
@@ -296,7 +302,8 @@ def _q_events_window_hourly(sf_dir: str) -> Any:
     workload on a batch engine — ray_guide 'Streaming-shaped')."""
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    from yaii_ray.ops.grouped import grouped_aggregate
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
@@ -307,10 +314,10 @@ def _q_events_window_hourly(sf_dir: str) -> Any:
         hour = pc.divide(us, 3_600_000_000)
         return b.append_column("hour", pc.cast(hour, pa.int64())).drop_columns(["ts"])
 
-    out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = grouped_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        specs=[(None, "count", "n"), ("value", "sum", "sum_value")],
     )
     t = out.to_pandas()
     t["sum_value"] = t["sum_value"].round(6)
@@ -558,24 +565,23 @@ def _q_join_orders_customer(sf_dir: str) -> Any:
     grouped aggregate."""
     import pyarrow.parquet as _pq
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     from yaii_ray.ops import joins
+    from yaii_ray.ops.grouped import grouped_aggregate
 
     cust = _pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
-    ).map_batches(
-        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
-    )
+    ).rename_columns({"o_custkey": "c_custkey"})
     joined = joins.broadcast_join(orders, cust, on="c_custkey")
-    out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        joined,
+        keys=["c_mktsegment"],
+        specs=[(None, "count", "n"), ("o_totalprice", "sum", "sum_price")],
+        final_partitions=1,
+    ).to_pandas()
     out["sum_price"] = out["sum_price"].round(2)
     return out
 
@@ -586,6 +592,7 @@ def _q_join_lineitem_part(sf_dir: str) -> Any:
     import ray.data
 
     from yaii_ray.ops import joins
+    from yaii_ray.ops.grouped import grouped_aggregate
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
@@ -594,16 +601,12 @@ def _q_join_lineitem_part(sf_dir: str) -> Any:
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
     )
     joined = joins.partitioned_hash_join(li, part, on="p_partkey", nbuckets=16)
-    out = (
-        joined.groupby("p_brand")
-        .map_groups(
-            lambda g: g.groupby("p_brand", as_index=False).agg(
-                n=("p_partkey", "size"), sum_qty=("l_quantity", "sum")
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        joined,
+        keys=["p_brand"],
+        specs=[(None, "count", "n"), ("l_quantity", "sum", "sum_qty")],
+        final_partitions=1,
+    ).to_pandas()
     out["sum_qty"] = out["sum_qty"].round(2)
     return out
 
@@ -649,9 +652,9 @@ def _q_session_windows(sf_dir: str) -> Any:
 def _q_hopping_window(sf_dir: str) -> Any:
     """Hopping windows: size 2h, hop 1h, count per (user, window)."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from yaii_ray.ops import windows
+    from yaii_ray.ops.grouped import grouped_aggregate
 
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
@@ -659,9 +662,11 @@ def _q_hopping_window(sf_dir: str) -> Any:
     w = windows.hopping_window(
         ev, key="user_id", ts="ts", size_us=2 * 3_600_000_000, hop_us=3_600_000_000
     )
-    return (
-        w.groupby(["user_id", "win"]).aggregate(Count(alias_name="n")).to_pandas()
-    )
+    return grouped_aggregate(
+        w,
+        keys=["user_id", "win"],
+        specs=[(None, "count", "n")],
+    ).to_pandas()
 
 
 _QUERIES: dict[str, Callable[[str], Any]] = {

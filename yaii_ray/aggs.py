@@ -148,9 +148,19 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
     sub = list(spec.aggs)
     gcol = spec.field
 
+    # deterministic column order — set iteration varies per process and
+    # blocks with permuted columns trip the executor's schema check
+    sub_cols = {
+        a.name: sorted({c.field for c in a.sort} | set(a.project))
+        for a in sub
+        if isinstance(a, (First, Last))
+    }
+    partial_cols = [gcol, "__n"] + [
+        f"{name}.{c}" for name, cs in sub_cols.items() for c in cs
+    ]
+    final_cols = [gcol, "count"] + partial_cols[2:]
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame()
         rows = []
         for key, g in b.groupby(gcol, dropna=False, sort=False):
             row = {gcol: key, "__n": len(g)}
@@ -158,27 +168,28 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
                 if isinstance(a, (First, Last)):
                     srt = a.sort if isinstance(a, First) else _reverse(a.sort)
                     win = _sort_df(g, srt).head(1).iloc[0]
-                    for c in {c.field for c in a.sort} | set(a.project):
+                    for c in sub_cols[a.name]:
                         row[f"{a.name}.{c}"] = win[c]
             rows.append(row)
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows, columns=partial_cols)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         row = {gcol: g[gcol].iloc[0], "count": int(g["__n"].sum())}
         for a in sub:
             if isinstance(a, (First, Last)):
                 srt = a.sort if isinstance(a, First) else _reverse(a.sort)
-                cols = [f"{a.name}.{c.field}" for c in a.sort]
                 renamed = g.rename(
-                    columns={f"{a.name}.{c}": c for c in
-                             ({c.field for c in a.sort} | set(a.project))}
+                    columns={f"{a.name}.{c}": c for c in sub_cols[a.name]}
                 )
                 win = _sort_df(renamed, srt).head(1).iloc[0]
-                for c in {c.field for c in a.sort} | set(a.project):
+                for c in sub_cols[a.name]:
                     row[f"{a.name}.{c}"] = win[c]
-        return pd.DataFrame([row])
+        return pd.DataFrame([row], columns=final_cols)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # partials total ≤ #blocks × #groups rows; collapsing them to one
+    # block keeps every reduce partition of the groupby populated (no
+    # schema-less empty RefBundles)
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(1)
     result = partials.groupby(gcol).map_groups(final, batch_format="pandas")
     df = result.to_pandas()
     return df.sort_values(gcol).reset_index(drop=True)

@@ -117,6 +117,11 @@ def partitioned_hash_join(
 
     return (
         lt.union(rt)
+        # non-shuffle block coalesce so the bucket groupby gets exactly
+        # nbuckets reduce partitions (≈1 bucket each) — more input
+        # blocks than buckets would leave reduce partitions empty
+        # (schema-less RefBundles) and reduce tasks idle
+        .repartition(nbuckets)
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
