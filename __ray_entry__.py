@@ -669,6 +669,68 @@ def _q_hopping_window(sf_dir: str) -> Any:
     ).to_pandas()
 
 
+def _doc_batches(sf_dir: str, k: int = 5):
+    """documents as k deterministic micro-batches (stream simulation)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = t.num_rows
+    split = max(1, n // k)
+    return t, [t.slice(i, min(split, n - i)) for i in range(0, n, split)], split
+
+
+def _q_continuous_future(sf_dir: str) -> Any:
+    """F1 FUTURE mode (QueryMode.FUTURE, yaii-types.ts:15-19): ingest
+    one batch, register, stream the rest — matches are exactly the
+    docs arriving AFTER registration. doc_id == row order == input
+    doc_id for this table, making the result SQL-checkable."""
+    from yaii_ray import continuous as cq
+    from yaii_ray.config import documents_config
+    from yaii_ray.query import dsl
+
+    _t, batches, _split = _doc_batches(sf_dir)
+    ci = cq.ContinuousIndex(documents_config())
+    ci.add(batches[0])
+    ci.register(
+        "m",
+        dsl.or_query(dsl.token("src3", field="source"), dsl.token("de", field="lang")),
+        mode=cq.MODE_FUTURE,
+        columns=["source", "lang", "n_chars"],
+    )
+    for b in batches[1:]:
+        ci.add(b)
+    out = ci.matches("m").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _q_continuous_caf_limit(sf_dir: str) -> Any:
+    """F1 CURRENT_AND_FUTURE with an unsorted limit: take(limit) over
+    concat(current, future) — the first `limit` matches in arrival
+    (= doc-id) order (base-inverted-index.ts:457-495)."""
+    from yaii_ray import continuous as cq
+    from yaii_ray.config import documents_config
+    from yaii_ray.query import dsl
+
+    _t, batches, _split = _doc_batches(sf_dir)
+    ci = cq.ContinuousIndex(documents_config())
+    ci.add(batches[0])
+    ci.register(
+        "m",
+        dsl.or_query(
+            dsl.token("src5", field="source"), dsl.token("src7", field="source")
+        ),
+        mode=cq.MODE_CURRENT_AND_FUTURE,
+        limit=30,
+        columns=["source"],
+    )
+    for b in batches[1:]:
+        ci.add(b)
+    out = ci.matches("m").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
@@ -702,6 +764,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_token_count": _q_bpe_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "lang_id": _q_lang_id,
+    "continuous_future": _q_continuous_future,
+    "continuous_caf_limit": _q_continuous_caf_limit,
 }
 
 
@@ -941,6 +1005,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5
             FROM documents""",
         "lang_id": _lang_id_sql(),
+        # registration happens after the first of 5 micro-batches =
+        # after floor(n/5) docs; doc_id == row order for this table
+        "continuous_future": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE (source = 'src3' OR lang = 'de')
+              AND doc_id >= CAST(FLOOR((SELECT count(*) FROM documents) / 5.0) AS BIGINT)""",
+        "continuous_caf_limit": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src5', 'src7') ORDER BY doc_id LIMIT 30""",
         "near_dup_minhash": _minhash_sql(),
         "ann_ivf_topk": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -90,6 +90,15 @@ def test_partitioned_join_empty_side_keeps_schema(ray_session):
     assert t.num_rows == 1 and t["rv"].to_pylist() == ["only"]
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_broadcast_join_matches_pandas(ray_session, how):
+    lds, _rds, l, r = _mk(ray_session)
+    got = joins.broadcast_join(lds, r, on="k", how=how).to_pandas()
+    want = l.merge(r, on="k", how=how)
+    assert got.columns.tolist() == ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_norm(got), _norm(want[got.columns.tolist()]))
+
+
 def test_partitioned_join_string_keys(ray_session):
     import ray.data
 

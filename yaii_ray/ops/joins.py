@@ -2,8 +2,8 @@
 has NO join operator; its perf harness loops per-key follow-up queries,
 SURVEY.md §2.8). Three scale shapes from the Ray guide:
 
-- :func:`broadcast_join` — small side ``ray.put`` once, pandas merge
-  per batch. No shuffle. THE default for dimension tables.
+- :func:`broadcast_join` — small side ``ray.put`` once, Arrow hash
+  join per batch. No shuffle. THE default for dimension tables.
 - :func:`partitioned_hash_join` — both sides large: tag + bucket by
   key hash, one ``groupby(bucket)`` shuffle, per-bucket Arrow hash
   join. Salt/bucket count is explicit (skew handling = raise
@@ -20,17 +20,24 @@ import pandas as pd
 import pyarrow as pa
 
 
-def broadcast_join(ds, small: pd.DataFrame, on: str, how: str = "inner"):
-    """Join a Dataset against a small pandas table (broadcast once)."""
+def broadcast_join(ds, small, on: str, how: str = "inner"):
+    """Join a Dataset against a small table (broadcast via ``ray.put``
+    once, read zero-copy in every task). Arrow-native: each batch
+    joins through ``pyarrow.Table.join`` and stays an Arrow block, so
+    downstream native groupby/aggregate take Ray's fast Arrow path.
+    ``small`` may be a pandas DataFrame or a pyarrow Table."""
     import ray
 
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    jt = _PA_JOIN_TYPE[how]
     ref = ray.put(small)
 
-    def merge(b: pd.DataFrame) -> pd.DataFrame:
+    def merge(b: pa.Table) -> pa.Table:
         rhs = ray.get(ref)
-        return b.merge(rhs, on=on, how=how)
+        return b.join(rhs, keys=on, join_type=jt)
 
-    return ds.map_batches(merge, batch_format="pandas")
+    return ds.map_batches(merge, batch_format="pyarrow")
 
 
 def _arrow_schema(ds) -> pa.Schema:

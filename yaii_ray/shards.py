@@ -48,7 +48,100 @@ from yaii_ray.query import ir
 from yaii_ray.stages.termize import KEY_SEP
 
 
-class ShardState:
+class PostingsResolver:
+    """Boolean resolve (Q4-Q12) over any key-sorted posting store.
+
+    Host contract: ``self.keys`` (key-sorted, bisectable sequence of
+    ``field<KEY_SEP>term`` strings), ``self._filter_cache`` (dict),
+    ``self.doc_ids()`` (sorted u64 universe) and ``self._decode_row(row)
+    -> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)``. Shared by
+    the on-disk shard (:class:`ShardState`) and the in-memory
+    micro-batch segment (:class:`yaii_ray.continuous.MemorySegment`),
+    so continuous queries resolve with EXACTLY the on-disk semantics."""
+
+    # ---- term dictionary ------------------------------------------
+
+    def _span(self, key: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self.keys, key)  # type: ignore[arg-type]
+        hi = bisect.bisect_right(self.keys, key)  # type: ignore[arg-type]
+        return lo, hi
+
+    def _key_range_span(self, key_lo: str, key_hi: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self.keys, key_lo)  # type: ignore[arg-type]
+        hi = bisect.bisect_left(self.keys, key_hi)  # type: ignore[arg-type]
+        return lo, hi
+
+    def term_postings(self, field: str, term: str) -> tuple:
+        """Concatenate chunk rows of (field, term) in doc order.
+        -> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)."""
+        lo, hi = self._span(field + KEY_SEP + term)
+        return self._concat_rows(range(lo, hi))
+
+    def _concat_rows(self, rows) -> tuple:
+        parts = [self._decode_row(r) for r in rows]
+        if not parts:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z.copy(), None, None, None, None
+        if len(parts) == 1:
+            return parts[0]
+
+        def cat(i):
+            arrs = [p[i] for p in parts]
+            return None if arrs[0] is None else np.concatenate(arrs)
+
+        return tuple(cat(i) for i in range(6))
+
+    # ---- boolean resolve (Q4-Q12) ----------------------------------
+
+    def resolve(self, exp: ir.Exp) -> np.ndarray:
+        """Exp tree -> sorted u64 doc-id array (store-local)."""
+        if isinstance(exp, ir.AllExp):
+            return self.doc_ids()
+        if isinstance(exp, ir.NoneExp):
+            return np.zeros(0, dtype=np.uint64)
+        if isinstance(exp, ir.TermExp):
+            return self.term_postings(exp.field, exp.term)[0]
+        if isinstance(exp, ir.CachedExp):
+            hit = self._filter_cache.get(exp.name)
+            if hit is None:
+                hit = self.resolve(exp.inner)
+                self._filter_cache[exp.name] = hit
+            return hit
+        if isinstance(exp, ir.TermRangeExp):
+            lo, hi = self._key_range_span(
+                exp.field + KEY_SEP + exp.lo, exp.field + KEY_SEP + exp.hi
+            )
+            docs = self._concat_rows(range(lo, hi))[0]
+            return np.unique(docs)
+        if isinstance(exp, ir.BoolExp):
+            must_sets = [self.resolve(e) for e in exp.must]
+            should_sets = [self.resolve(e) for e in exp.should]
+            acc: np.ndarray | None = None
+            if must_sets:
+                must_sets.sort(key=len)
+                acc = must_sets[0]
+                for s in must_sets[1:]:
+                    if acc.size == 0:
+                        break
+                    acc = snp_intersect(acc, s)
+            if should_sets:
+                union = (
+                    np.unique(np.concatenate(should_sets))
+                    if len(should_sets) > 1
+                    else should_sets[0]
+                )
+                acc = union if acc is None else snp_intersect(acc, union)
+            if acc is None:
+                acc = self.doc_ids()
+            for e in exp.must_not:
+                if acc.size == 0:
+                    break
+                acc = snp_setdiff(acc, self.resolve(e))
+            return acc
+        raise TypeError(f"cannot resolve {type(exp).__name__}")
+
+
+class ShardState(PostingsResolver):
     # resident-memory bounds (the Ray-native equivalent of the
     # reference's sizeInMemory-capped posting LRU,
     # immutable-segment.ts:87): payload columns stay resident up to
@@ -131,18 +224,6 @@ class ShardState:
             self._payload_bytes -= old.nbytes
         return t
 
-    # ---- term dictionary ------------------------------------------
-
-    def _span(self, key: str) -> tuple[int, int]:
-        lo = bisect.bisect_left(self.keys, key)  # type: ignore[arg-type]
-        hi = bisect.bisect_right(self.keys, key)  # type: ignore[arg-type]
-        return lo, hi
-
-    def _key_range_span(self, key_lo: str, key_hi: str) -> tuple[int, int]:
-        lo = bisect.bisect_left(self.keys, key_lo)  # type: ignore[arg-type]
-        hi = bisect.bisect_left(self.keys, key_hi)  # type: ignore[arg-type]
-        return lo, hi
-
     def warmup_payloads(self) -> int:
         """Pre-fault payload files into the LRU until the byte budget
         is reached — resident-grade query latency when the working set
@@ -190,24 +271,6 @@ class ShardState:
             )
         return out
 
-    def term_postings(self, field: str, term: str) -> tuple:
-        """Concatenate chunk rows of (field, term) in doc order.
-        -> (docs, tfs, dls, blk_last, blk_maxtf, blk_mindl)."""
-        lo, hi = self._span(field + KEY_SEP + term)
-        return self._concat_rows(range(lo, hi))
-
-    def _concat_rows(self, rows) -> tuple:
-        parts = [self._decode_row(r) for r in rows]
-        if not parts:
-            z = np.zeros(0, dtype=np.uint64)
-            return z, z.copy(), None, None, None, None
-        if len(parts) == 1:
-            return parts[0]
-        def cat(i):
-            arrs = [p[i] for p in parts]
-            return None if arrs[0] is None else np.concatenate(arrs)
-        return tuple(cat(i) for i in range(6))
-
     # ---- doc universe (for ALL / NOT) ------------------------------
 
     def doc_ids(self) -> np.ndarray:
@@ -228,55 +291,6 @@ class ShardState:
                 np.sort(np.concatenate(cols)) if cols else np.zeros(0, np.uint64)
             )
         return self._doc_ids
-
-    # ---- boolean resolve (Q4-Q12) ----------------------------------
-
-    def resolve(self, exp: ir.Exp) -> np.ndarray:
-        """Exp tree -> sorted u64 doc-id array (shard-local)."""
-        if isinstance(exp, ir.AllExp):
-            return self.doc_ids()
-        if isinstance(exp, ir.NoneExp):
-            return np.zeros(0, dtype=np.uint64)
-        if isinstance(exp, ir.TermExp):
-            return self.term_postings(exp.field, exp.term)[0]
-        if isinstance(exp, ir.CachedExp):
-            hit = self._filter_cache.get(exp.name)
-            if hit is None:
-                hit = self.resolve(exp.inner)
-                self._filter_cache[exp.name] = hit
-            return hit
-        if isinstance(exp, ir.TermRangeExp):
-            lo, hi = self._key_range_span(
-                exp.field + KEY_SEP + exp.lo, exp.field + KEY_SEP + exp.hi
-            )
-            docs = self._concat_rows(range(lo, hi))[0]
-            return np.unique(docs)
-        if isinstance(exp, ir.BoolExp):
-            must_sets = [self.resolve(e) for e in exp.must]
-            should_sets = [self.resolve(e) for e in exp.should]
-            acc: np.ndarray | None = None
-            if must_sets:
-                must_sets.sort(key=len)
-                acc = must_sets[0]
-                for s in must_sets[1:]:
-                    if acc.size == 0:
-                        break
-                    acc = snp_intersect(acc, s)
-            if should_sets:
-                union = (
-                    np.unique(np.concatenate(should_sets))
-                    if len(should_sets) > 1
-                    else should_sets[0]
-                )
-                acc = union if acc is None else snp_intersect(acc, union)
-            if acc is None:
-                acc = self.doc_ids()
-            for e in exp.must_not:
-                if acc.size == 0:
-                    break
-                acc = snp_setdiff(acc, self.resolve(e))
-            return acc
-        raise TypeError(f"cannot resolve {type(exp).__name__}")
 
     # ---- BM25 block-max WAND (§2.11) -------------------------------
 
