@@ -490,6 +490,24 @@ def _q_embed_cosine_pairs(sf_dir: str) -> Any:
     return got[["a", "b", "cosine_r"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_embed_pairs_ivf(sf_dir: str) -> Any:
+    """IVF-bucketed embedding near-dup — the scale path of
+    embed_cosine_pairs: same tau, pairs restricted to co-bucketed
+    vectors (O(Σ bucket²), one shuffle, no O(N²) broadcast matmul).
+    iters=0 makes bucketing deterministic; the oracle replays the
+    same assignment CTE as ann_ivf_topk and self-joins within cid."""
+    import ray.data
+
+    from yaii_ray.ops import dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = dedup.embedding_cosine_pairs_ivf(ds, tau=0.2, nlist=16).to_pandas()
+    got["cosine_r"] = got["cosine"].round(6)
+    got["a"] = got["a"].astype("int64")
+    got["b"] = got["b"].astype("int64")
+    return got[["a", "b", "cosine_r"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_ann_topk(sf_dir: str) -> Any:
     import pyarrow.parquet as _pq
     import ray.data
@@ -766,11 +784,35 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_id": _q_lang_id,
     "continuous_future": _q_continuous_future,
     "continuous_caf_limit": _q_continuous_caf_limit,
+    "embed_pairs_ivf": _q_embed_pairs_ivf,
 }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return dict(_QUERIES)
+
+
+# the deterministic IVF coarse-quantizer assignment (strided seeding,
+# cosine-argmax, lowest-cid tie-break) shared by ann_ivf_topk and
+# embed_pairs_ivf — mirrors yaii_ray/ops/ann.py IVFIndex.fit(iters=0)
+_IVF_ASSIGN_CTE = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            n AS (SELECT count(*) AS n FROM v),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+              FROM (SELECT vec_id, emb FROM v, n
+                    WHERE vec_id % greatest(n.n // 16, 1) = 0
+                    ORDER BY vec_id LIMIT 16)
+            ),
+            assign AS (
+              SELECT vec_id, emb, cid FROM (
+                SELECT e.vec_id, e.emb, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.emb, c.emb) DESC,
+                                  c.cid ASC) AS rn
+                FROM v e CROSS JOIN cent c
+              ) WHERE rn = 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1014,26 +1056,15 @@ def oracle_sql() -> dict[str, str]:
         "continuous_caf_limit": """
             SELECT doc_id, source FROM documents
             WHERE source IN ('src5', 'src7') ORDER BY doc_id LIMIT 30""",
+        "embed_pairs_ivf": f"""{_IVF_ASSIGN_CTE}
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine_r
+            FROM assign x JOIN assign y
+              ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.emb, y.emb) >= 0.2
+            ORDER BY a, b""",
         "near_dup_minhash": _minhash_sql(),
-        "ann_ivf_topk": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-            n AS (SELECT count(*) AS n FROM v),
-            cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
-              FROM (SELECT vec_id, emb FROM v, n
-                    WHERE vec_id % greatest(n.n // 16, 1) = 0
-                    ORDER BY vec_id LIMIT 16)
-            ),
-            assign AS (
-              SELECT vec_id, emb, cid FROM (
-                SELECT e.vec_id, e.emb, c.cid,
-                       row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.emb, c.emb) DESC,
-                                  c.cid ASC) AS rn
-                FROM v e CROSS JOIN cent c
-              ) WHERE rn = 1
-            ),
+        "ann_ivf_topk": f"""{_IVF_ASSIGN_CTE},
             q AS (SELECT vec_id AS query, emb FROM v WHERE vec_id < 3),
             probes AS (
               SELECT query, cid FROM (

@@ -140,6 +140,30 @@ def test_embedding_cosine_pairs(emb_ds):
     assert all((int(a), int(b)) in want for a, b in pairs)
 
 
+def test_embedding_pairs_ivf_recall(emb_ds, tmp_path):
+    """The IVF-bucketed scale path must (a) return only true pairs
+    (exact cosine within buckets — no false positives ever) and
+    (b) find every PLANTED near-dup: ~identical vectors share a
+    Voronoi cell, so high-tau recall is where bucketing is safe."""
+    ds, mat, ids = emb_ds
+    got = dedup.embedding_cosine_pairs_ivf(
+        ds, tau=0.99, nlist=4, path=str(tmp_path / "ivf")
+    ).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    M = mat.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.99
+    }
+    assert want == {(0, 30), (1, 31), (2, 32)}  # the planted dups
+    assert pairs <= want  # subset of the exact answer: no false hits
+    assert pairs == want  # ...and full recall on the planted dups
+
+
 def test_brute_topk_matches_numpy(emb_ds):
     ds, mat, ids = emb_ds
     q = mat[0]

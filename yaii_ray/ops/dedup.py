@@ -588,6 +588,58 @@ def embedding_cosine_pairs(ds, tau: float, id_col: str = "vec_id", vec_col: str 
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+def embedding_cosine_pairs_ivf(
+    ds,
+    tau: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+    iters: int = 0,
+    seed: int = 13,
+):
+    """Scale path for embedding near-dup: IVF-bucket the corpus
+    (``ops.ann.IVFIndex`` fit → bucket-partitioned Parquet, driver
+    holds only the centroids), then exact pairwise cosine WITHIN each
+    bucket via ``groupby('centroid')`` — O(Σ bucketᵢ²) compute and one
+    shuffle instead of the brute path's O(N²) against a broadcast
+    full matrix. Bucket depth ≈ N/nlist; raise ``nlist`` at scale to
+    bound it. Recall: misses only cross-bucket pairs (near-identical
+    vectors share a Voronoi cell except on cell boundaries — use
+    :func:`embedding_cosine_pairs` when exactness is required).
+    ``iters=0`` makes every step (strided seeding, argmax assignment,
+    triangle enumeration) a deterministic function of the table, so
+    the driver oracle replays it exactly in SQL."""
+    import ray.data
+
+    from yaii_ray.ops.ann import IVFIndex
+
+    ivf = IVFIndex(nlist=nlist, iters=iters, seed=seed, path=path).fit(
+        ds, id_col=id_col, vec_col=vec_col
+    )
+    parts = ray.data.read_parquet(ivf.path)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_vec_matrix(g[vec_col]))
+        sims = V @ V.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = sims[iu, ju] >= tau
+        a, b = ids[iu[m]], ids[ju[m]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                "cosine": pa.array(sims[iu, ju][m].astype(np.float64)),
+            }
+        )
+
+    return parts.groupby("centroid").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+
 def _vec_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
