@@ -428,14 +428,17 @@ def simhash_pairs_within(
 
 def near_dup_pairs_simhash(
     ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-    max_bucket: int = 256,
+    max_bucket: int = 256, shuffle_partitions: int = 16,
 ):
     """SimHash near-dups: pairs with Hamming(sig_a, sig_b) <= t.
     Bucketed by each of t+1 bands (pigeonhole: any pair within
     distance t agrees on at least one band), verified exactly;
     oversized buckets are recursively re-split on their remaining bits
     (:func:`simhash_pairs_within`) so no stage enumerates a quadratic
-    candidate set."""
+    candidate set. ``shuffle_partitions`` sizes the bucketing
+    groupby's reduce side (raise with corpus size; keeping it at or
+    below the populated (band, band_hash) group count avoids Ray's
+    schema-less empty reduce partitions)."""
     bands = max_hamming + 1
     width = 64 // bands
 
@@ -464,7 +467,8 @@ def near_dup_pairs_simhash(
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
         if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({"a": z, "b": z, "hamming": z})
         # rows here agree on this band's bits exactly; the remaining
         # bits are free for the bounded recursive split
         bi = int(g["band"].iloc[0])
@@ -477,6 +481,7 @@ def near_dup_pairs_simhash(
 
     pairs = (
         sigs.map_batches(band_rows, batch_format="pyarrow")
+        .repartition(shuffle_partitions)
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()

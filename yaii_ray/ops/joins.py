@@ -124,11 +124,14 @@ def partitioned_hash_join(
 
     return (
         lt.union(rt)
-        # non-shuffle block coalesce so the bucket groupby gets exactly
-        # nbuckets reduce partitions (≈1 bucket each) — more input
-        # blocks than buckets would leave reduce partitions empty
-        # (schema-less RefBundles) and reduce tasks idle
-        .repartition(nbuckets)
+        # non-shuffle block coalesce so the bucket groupby runs with
+        # ~4 buckets per reduce partition — more input blocks than
+        # buckets would leave reduce partitions empty (schema-less
+        # RefBundles, idle tasks), and exactly-one-bucket partitions
+        # still go empty when Ray's sampled quantile boundaries
+        # collide on the few distinct values. nbuckets (not the
+        # partition count) keeps bounding per-group memory.
+        .repartition(max(2, nbuckets // 4))
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
