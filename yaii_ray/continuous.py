@@ -25,7 +25,12 @@ Scale note: the un-committed tail (micro-batches since the last
 commit) is driver-resident by design, exactly like the reference's
 mutable in-memory segment — commit cadence bounds it. Historical /
 backfill resolution belongs to the committed :class:`engine.Index`
-(shard actors); this class only owns the streaming tail.
+(shard actors); this class only owns the streaming tail. Likewise a
+registration's CURRENT part materializes its matches (the reference
+API returns the full stream): for broad filters over a big committed
+index, take the current side through ``Index.query`` /
+``Index.docs_dataset`` (streaming, two-phase top-k) and register
+FUTURE-only here.
 """
 
 from __future__ import annotations
