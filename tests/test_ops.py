@@ -140,6 +140,46 @@ def test_embedding_cosine_pairs(emb_ds):
     assert all((int(a), int(b)) in want for a, b in pairs)
 
 
+def test_connected_components_ray_matches_union_find(ray_session):
+    """All-Ray min-label propagation == driver union-find on a random
+    graph with chains (multi-hop), a star, isolated vertices and a
+    cycle."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = [(i, i + 1) for i in range(0, 16, 1)]          # 16-hop chain
+    edges += [(100, j) for j in range(101, 110)]           # star
+    edges += [(150, 151), (151, 152), (152, 150)]          # cycle
+    edges += [
+        (int(a), int(b))
+        for a, b in rng.integers(160, 190, size=(12, 2))
+        if a != b
+    ]
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    )
+    ids = np.arange(n, dtype=np.int64)
+    ids_ds = ray.data.from_arrow(pa.table({"id": pa.array(ids)}))
+    got = (
+        dedup.connected_components_ray(pairs_ds, ids_ds, nbuckets=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = dedup.connected_components(
+        pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]}),
+        ids,
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["cluster"].tolist() == want["cluster"].tolist()
+
+
 def test_embedding_pairs_ivf_recall(emb_ds, tmp_path):
     """The IVF-bucketed scale path must (a) return only true pairs
     (exact cosine within buckets — no false positives ever) and

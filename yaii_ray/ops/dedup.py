@@ -526,6 +526,81 @@ def connected_components(pairs: pd.DataFrame, ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"id": ids, "cluster": labels})
 
 
+def connected_components_ray(
+    pairs_ds, ids_ds, id_col: str = "id", max_iters: int = 64,
+    nbuckets: int = 32,
+):
+    """All-Ray min-label propagation — :func:`connected_components`
+    for a pair set that itself doesn't fit one machine (e.g. exact-dup
+    edges over 10⁹ docs). Per round every vertex takes the min label
+    among itself, its neighbors (one partitioned hash join along the
+    edges) and its label's own label (a second join of the label table
+    with itself — pointer jumping, so chains collapse in O(log
+    diameter) rounds instead of O(diameter)), then one grouped min.
+    Fixed point is detected by the monotone total-label sum, one tiny
+    aggregate per round. Returns a Dataset ``(id, cluster)``;
+    ``ids_ds`` supplies the full vertex universe so isolated docs keep
+    their own id."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from yaii_ray.ops.grouped import grouped_aggregate
+    from yaii_ray.ops.joins import partitioned_hash_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, c])),
+                "nbr": pa.array(np.concatenate([c, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init(b: pa.Table) -> pa.Table:
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v), "label": pa.array(v)})
+
+    labels = ids_ds.map_batches(init, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_iters):
+        # neighbor's current label, delivered to each vertex
+        msgs = partitioned_hash_join(
+            edges, labels.rename_columns({"v": "nbr"}), on="nbr",
+            left_cols=["v", "nbr"], right_cols=["nbr", "label"],
+            nbuckets=nbuckets,
+        ).drop_columns(["nbr"])
+        # pointer jump: v also learns label(label(v)) — labels are
+        # vertex ids, so the label table joins with itself
+        jump = (
+            partitioned_hash_join(
+                labels.rename_columns({"label": "lkey"}),
+                labels.rename_columns({"v": "lkey", "label": "label2"}),
+                on="lkey",
+                nbuckets=nbuckets,
+            )
+            .drop_columns(["lkey"])
+            .rename_columns({"label2": "label"})
+        )
+        labels = grouped_aggregate(
+            msgs.union(labels).union(jump),
+            keys=["v"],
+            specs=[("label", "min", "label")],
+        ).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["v"], "cluster": b["label"]})
+
+    return labels.map_batches(out, batch_format="pyarrow")
+
+
 def dedup_near(
     ds,
     col: str = "text",
