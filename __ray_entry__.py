@@ -403,6 +403,39 @@ def _q_near_dup_cluster(sf_dir: str) -> Any:
     return cc[["doc_id", "cluster"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_near_dup_cluster_ray(sf_dir: str) -> Any:
+    """Same clusters as near_dup_cluster, computed by the all-Ray
+    pointer-jumping min-label propagation instead of driver union-find
+    (the path for pair sets that don't fit one machine). Shares the
+    recursive-CTE oracle."""
+    import ray.data
+
+    from yaii_ray.ops import dedup
+
+    pairs = dedup.near_dup_pairs_exact(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), tau=0.4
+    )
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy(), type=pa.int64()),
+                "b": pa.array(pairs["b"].to_numpy(), type=pa.int64()),
+            }
+        )
+    )
+    ids_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        dedup.connected_components_ray(
+            pairs_ds, ids_ds, id_col="doc_id", nbuckets=8
+        )
+        .to_pandas()
+        .rename(columns={"id": "doc_id"})
+    )
+    return out[["doc_id", "cluster"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ann_ivf_topk(sf_dir: str) -> Any:
     """IVF ANN top-10 for 3 query vectors, nprobe=6 of nlist=16.
     iters=0 keeps the strided seed vectors as centroids, making the
@@ -773,6 +806,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_minhash": _q_near_dup_minhash,
     "simhash_pairs": _q_simhash_pairs,
     "near_dup_cluster": _q_near_dup_cluster,
+    "near_dup_cluster_ray": _q_near_dup_cluster_ray,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_image_meta": _q_multimodal_image_meta,
@@ -851,7 +885,7 @@ def oracle_sql() -> dict[str, str]:
     WHERE d.lang = 'en'
     ORDER BY s.score DESC, s.doc_id LIMIT 10""",
     )
-    return {
+    oracles = {
         "term_df_top50": f"""{tok_cte}
             SELECT term, count(DISTINCT doc_id) AS df FROM tok
             GROUP BY term ORDER BY df DESC, term LIMIT 50""",
@@ -1154,6 +1188,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(x.s, y.s)) <= 7
             ORDER BY a, b""",
     }
+    # identical semantics, different execution engine (all-Ray label
+    # propagation vs driver union-find)
+    oracles["near_dup_cluster_ray"] = oracles["near_dup_cluster"]
+    return oracles
 
 
 def _minhash_sql(tau: float = 0.4, num_perm: int = 128, rows: int = 4, seed: int = 7) -> str:
