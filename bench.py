@@ -216,6 +216,13 @@ def main() -> None:
         lat.append(time.monotonic() - t0)
     timings["bm25_total"] = round(sum(lat), 3)
     p50_ms = round(1000 * statistics.median(lat), 2)
+    # batched mode: same 40 queries in ONE RPC per shard (amortizes
+    # the actor round-trip that dominates single-query p50 here);
+    # kept out of `timings` so the summed total stays comparable
+    # across rounds
+    t0 = time.monotonic()
+    idx.search_many(queries, field="text", k=10)
+    batch_sec = time.monotonic() - t0
     idx.close()
 
     # 3. sf-dir pipelines (driver-contract subset)
@@ -249,6 +256,8 @@ def main() -> None:
                     "termstats_sec": build_metrics.get("termstats_sec"),
                 },
                 "bm25_p50_ms": p50_ms,
+                "bm25_batch_sec": round(batch_sec, 3),
+                "bm25_batch_qps": round(len(queries) / batch_sec, 1),
             }
         )
     )

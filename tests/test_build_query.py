@@ -152,6 +152,30 @@ def test_bm25_rank_and_score_identical_to_oracle(built):
             assert got_s.tolist() == want_s.tolist(), f"scores differ for {q!r} k={k}"
 
 
+def test_search_many_matches_single(built):
+    """Batched BM25 (one RPC per shard for the whole batch) must be
+    per-element bitwise identical to search(), including empty-term
+    queries mid-batch."""
+    idx, src = built
+    oracle = BruteForceBM25(
+        src, "text", np.arange(src.num_rows, dtype=np.uint64), idx.config
+    )
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    queries = [
+        vocab[0],
+        f"{vocab[0]} {vocab[5]}",
+        "zzz-no-such-term",
+        " ".join(vocab[2:6]),
+        vocab[-1],
+    ]
+    batched = idx.search_many(queries, field="text", k=10)
+    assert len(batched) == len(queries)
+    for q, got in zip(queries, batched):
+        want = idx.search(q, field="text", k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+        assert got["score"].to_pylist() == want["score"].to_pylist(), q
+
+
 def test_filtered_bm25(built):
     idx, src = built
     oracle = BruteForceBM25(

@@ -487,6 +487,13 @@ def make_shard_actor():
         def search_bm25(self, *args, **kw):
             return self.state.search_bm25(*args, **kw)
 
+        def search_bm25_many(self, batch: list[tuple]) -> list[tuple]:
+            """Whole query batch in ONE actor round-trip: on small
+            clusters single-query p50 is dominated by the RPC floor,
+            so throughput callers (eval sweeps, dedup-by-search)
+            amortize it across the batch."""
+            return [self.state.search_bm25(*args) for args in batch]
+
         def warmup(self) -> int:
             self.state.warmup_payloads()
             return len(self.state.keys)
