@@ -53,6 +53,8 @@ def test_docs_roundtrip_stable_order(built):
     assert rebuilt["turn_idx"].to_pylist() == src["turn_idx"].to_pylist()
     # doc ids are dense 0..N-1 in (conv_id, turn_idx) order
     assert rebuilt["doc_id"].to_pylist() == list(range(src.num_rows))
+    # listAllKnownField analog
+    assert set(idx.fields()) >= {"conv_id", "turn_idx", "text"}
 
 
 def test_boolean_retrieval_matches_scan(built):

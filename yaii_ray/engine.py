@@ -80,6 +80,12 @@ class Index:
 
     # ---- global statistics ----------------------------------------
 
+    def fields(self) -> dict:
+        """Field name -> FieldConfig — the reference's
+        ``listAllKnownField()`` (yaii-types.ts:26, schema is explicit
+        here rather than lazily inferred)."""
+        return dict(self.config.fields)
+
     def field_stats(self, field: str) -> tuple[int, float]:
         """(doc_count, avgdl) of a scored field."""
         st = self.manifest["stats"]["fields"][field]
