@@ -39,7 +39,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from yaii_ray.analysis.tokenizer import tokenize_strings
 
 MERSENNE = (1 << 61) - 1
 # largest 32-bit prime: with 32-bit base hashes and 32-bit (a, b) the
