@@ -714,8 +714,12 @@ def embedding_cosine_pairs_ivf(
             }
         )
 
-    return parts.groupby("centroid").map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    return (
+        # ~4 centroids per reduce partition: more blocks than buckets
+        # would leave reduce partitions empty (schema-less RefBundles)
+        parts.repartition(max(2, nlist // 4))
+        .groupby("centroid")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
 
