@@ -985,7 +985,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                               FOR i IN generate_series(1, len(t) - 2)])
                           ELSE [array_to_string(t, ' ')] END AS s
-              FROM toks WHERE len(t) > 0
+              -- empty/whitespace-only texts produce ZERO shingles in
+              -- the engine (str.split() drops empties); regexp_split
+              -- of '' returns [''], so filter on non-empty tokens
+              FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
             )
             SELECT x.doc_id AS a, y.doc_id AS b,
                    round(len(list_intersect(x.s, y.s))::DOUBLE
@@ -1005,7 +1008,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                               FOR i IN generate_series(1, len(t) - 2)])
                           ELSE [array_to_string(t, ' ')] END AS s
-              FROM toks WHERE len(t) > 0
+              -- empty/whitespace-only texts produce ZERO shingles in
+              -- the engine (str.split() drops empties); regexp_split
+              -- of '' returns [''], so filter on non-empty tokens
+              FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
             ),
             pairs AS (
               SELECT x.doc_id AS a, y.doc_id AS b
@@ -1217,7 +1223,8 @@ def _minhash_sql(tau: float = 0.4, num_perm: int = 128, rows: int = 4, seed: int
                       THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                           FOR i IN generate_series(1, len(t) - 2)])
                       ELSE [array_to_string(t, ' ')] END AS s
-          FROM toks WHERE len(t) > 0
+          -- engine parity: empty/whitespace-only texts have NO shingles
+          FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
         ),
         hb AS (
           SELECT doc_id, ('0x' || substr(md5(g.g), 1, 8))::UBIGINT AS h

@@ -188,9 +188,12 @@ def candidate_pairs_from_buckets(g: pd.DataFrame, id_col: str = "doc_id") -> pd.
     """One LSH bucket -> all unordered id pairs."""
     ids = np.sort(np.unique(g[id_col].to_numpy()))
     if ids.size < 2:
-        return pd.DataFrame({"a": [], "b": []})
+        z = np.zeros(0, dtype=np.int64)
+        return pd.DataFrame({"a": z, "b": z})
     ai, bi = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    return pd.DataFrame(
+        {"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64)}
+    )
 
 
 def jaccard_pairs_exact(
@@ -225,6 +228,162 @@ def jaccard_pairs_exact(
     return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
 
 
+# below this many candidate pairs the verify step runs on the driver
+# (one gather + a numpy loop beats three shuffles); above it, the
+# distributed map_groups verify (jaccard_verify_pairs_ray) takes over
+VERIFY_DRIVER_MAX_PAIRS = 20_000
+
+
+def _pair_bucket_ids(a: np.ndarray, b: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Deterministic bucket per unordered pair — a pure function of
+    (a, b), so every duplicate of a pair lands in the same bucket."""
+    mix = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
+        np.uint64
+    )
+    return (mix % np.uint64(nbuckets)).astype(np.int64)
+
+
+def jaccard_verify_pairs_ray(
+    ds,
+    cands_ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    tau: float = 0.5,
+    nbuckets: int = 16,
+) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs AS A RAY STAGE —
+    the scale path for funnels where the candidate set (10^6-10^8 pairs
+    at 10^9 docs) no longer fits a driver loop. No full text ever
+    reaches the driver; only the verified output does.
+
+    Three bounded stages:
+    1. pair dedup: bucket by ``hash(a, b)`` (duplicates of a pair from
+       different LSH bands co-locate), per-bucket ``np.unique``.
+    2. shingle delivery: pairs explode to (doc, a, b) request rows and
+       join the per-doc (doc, shingle-hash) rows — ONE partitioned
+       hash join keyed on doc.
+    3. verify: re-bucket the joined rows by the pair hash; each bucket
+       computes |A|, |B| and |A∩B| for ALL its pairs in one vectorized
+       ``np.unique``/``bincount`` pass (no per-pair Python loop).
+
+    A pair with an empty-shingle side never survives the inner join
+    with both docs present, so it is skipped — the same semantics as
+    :func:`jaccard_pairs_exact`.
+    """
+    from yaii_ray.ops.joins import partitioned_hash_join
+
+    coalesced = max(2, nbuckets // 4)
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__pb", pa.array(_pair_bucket_ids(a, b, nbuckets)))
+
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = np.empty(a.size, dtype=[("a", np.int64), ("b", np.int64)])
+        rec["a"], rec["b"] = a, b
+        u = np.unique(rec)
+        return pa.table({"a": pa.array(u["a"]), "b": pa.array(u["b"])})
+
+    pairs = (
+        cands_ds.map_batches(add_pb, batch_format="pyarrow")
+        .repartition(coalesced)
+        .groupby("__pb")
+        .map_groups(uniq_pairs, batch_format="pyarrow")
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__doc": pa.array(np.concatenate([a, b])),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+            }
+        )
+
+    requests = pairs.map_batches(explode, batch_format="pyarrow")
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, counts = _shingle_hashes(t[col].to_pylist(), n=ngram)
+        return pa.table(
+            {
+                "__doc": pa.array(np.repeat(ids, counts)),
+                "__sh": pa.array(hashes, type=pa.uint64()),
+            }
+        )
+
+    sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    joined = partitioned_hash_join(requests, sh_ds, on="__doc", nbuckets=nbuckets)
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        doc = g["__doc"].to_numpy(zero_copy_only=False)
+        sh = g["__sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rec = np.empty(a.size, dtype=[("a", np.int64), ("b", np.int64)])
+        rec["a"], rec["b"] = a, b
+        upairs, p = np.unique(rec, return_inverse=True)
+        npairs = upairs.size
+        is_a = doc == a
+        na = np.bincount(p[is_a], minlength=npairs)
+        nb = np.bincount(p[~is_a], minlength=npairs)
+        rec2 = np.empty(a.size, dtype=[("p", np.int64), ("h", np.uint64)])
+        rec2["p"], rec2["h"] = p, sh
+        u2, c2 = np.unique(rec2, return_counts=True)
+        inter = np.bincount(u2["p"][c2 == 2], minlength=npairs)
+        union = na + nb - inter
+        ok = (na > 0) & (nb > 0)
+        j = np.zeros(npairs, dtype=np.float64)
+        j[ok] = inter[ok] / union[ok]
+        keep = ok & (j >= tau)
+        return pa.table(
+            {
+                "a": pa.array(upairs["a"][keep]),
+                "b": pa.array(upairs["b"][keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    out = (
+        joined.map_batches(add_pb, batch_format="pyarrow")
+        .repartition(coalesced)
+        .groupby("__pb")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out
+
+
+def _verified_pairs(
+    ds, cands_ds, col: str, id_col: str, ngram: int, tau: float,
+    nbuckets: int = 16,
+) -> pd.DataFrame:
+    """Verify a candidate-pair Dataset: driver fast path below
+    ``VERIFY_DRIVER_MAX_PAIRS``, distributed Ray verify above it."""
+    cands_ds = cands_ds.materialize()
+    n = cands_ds.count()
+    if n == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    if n <= VERIFY_DRIVER_MAX_PAIRS:
+        cands = cands_ds.to_pandas().drop_duplicates().reset_index(drop=True)
+        need = np.unique(
+            np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()])
+        )
+        table = _gather_rows(ds, id_col, need, [id_col, col])
+        out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
+    else:
+        out = jaccard_verify_pairs_ray(
+            ds, cands_ds, col, id_col, ngram, tau, nbuckets
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def near_dup_pairs_minhash(
     ds,
     col: str = "text",
@@ -239,8 +398,9 @@ def near_dup_pairs_minhash(
     Returns a pandas DataFrame (a, b, jaccard), a < b, sorted.
 
     The scale path end-to-end: signatures and band rows are per-batch
-    map_batches; bucketing is ONE groupby shuffle; verification
-    re-reads only the docs appearing in candidates."""
+    map_batches; bucketing is ONE groupby shuffle; verification runs
+    on the driver only below ``VERIFY_DRIVER_MAX_PAIRS`` candidates,
+    else as the distributed :func:`jaccard_verify_pairs_ray` stage."""
     sigs = ds.map_batches(
         lambda t: minhash_batch(t, col, id_col, num_perm, ngram),
         batch_format="pyarrow",
@@ -248,18 +408,10 @@ def near_dup_pairs_minhash(
     band_rows = sigs.map_batches(
         lambda t: lsh_band_rows(t, id_col, bands, rows), batch_format="pyarrow"
     )
-    cands = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas")
-        .to_pandas()
+    cands_ds = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas"
     )
-    cands = cands.drop_duplicates().reset_index(drop=True)
-    if not len(cands):
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    need = np.unique(np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()]))
-    table = _gather_rows(ds, id_col, need, [id_col, col])
-    out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau)
 
 
 def near_dup_pairs_exact(
@@ -284,20 +436,12 @@ def near_dup_pairs_exact(
             }
         )
 
-    cands = (
+    cands_ds = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("shingle")
         .map_groups(lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
     )
-    if not len(cands):
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    need = np.unique(np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()]))
-    table = _gather_rows(ds, id_col, need, [id_col, col])
-    out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau)
 
 
 # ---- SimHash --------------------------------------------------------
