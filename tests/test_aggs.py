@@ -123,3 +123,44 @@ def test_unsorted_limit_bounded_driver_merge(built):
     full = idx.resolve(q)
     t = idx.query(q, limit=7)
     assert t["doc_id"].to_numpy().tolist() == full[:7].tolist()
+
+
+def test_group_by_high_cardinality_parallel_final(ray_session):
+    """VERDICT r2 #2 'done' criterion: GROUP_BY on a ~1e5-cardinality
+    key runs WITHOUT collapsing the partials to a single block — the
+    final stage is sized by measured partial volume — and still merges
+    per-group count + nested FIRST correctly."""
+    import ray.data
+
+    from yaii_ray import aggs
+
+    n, k = 200_000, 100_000
+    rng = np.random.default_rng(3)
+    key = (np.arange(n) % k).astype(np.int64)
+    val = rng.integers(0, 1_000_000, size=n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(key), "v": pa.array(val), "rid": pa.array(rid)})
+    )
+    spec = GroupBy(
+        "g",
+        (First(sort=(dsl.SortClause("v", dsl.DESC), dsl.SortClause("rid", dsl.ASC))),),
+    )
+    got = aggs._group_by(ds, spec)
+    assert len(got) == k
+    # the sizing rule must pick a parallel final stage at this volume
+    assert aggs._final_partition_count(n) > 1
+    pdf = pd.DataFrame({"g": key, "v": val, "rid": rid})
+    want_cnt = pdf.groupby("g").size()
+    win = pdf.sort_values(["v", "rid"], ascending=[False, True], kind="stable")
+    want_first = win.drop_duplicates(subset="g", keep="first").set_index("g")
+    got = got.set_index("g")
+    assert (got["count"].to_numpy() == want_cnt.reindex(got.index).to_numpy()).all()
+    assert (
+        got["first.v"].to_numpy()
+        == want_first["v"].reindex(got.index).to_numpy()
+    ).all()
+    assert (
+        got["first.rid"].to_numpy()
+        == want_first["rid"].reindex(got.index).to_numpy()
+    ).all()

@@ -185,3 +185,81 @@ def test_register_future_then_matches_empty():
     ci = ContinuousIndex(_config())
     ci.register("x", dsl.token("red", field="tag"), mode=MODE_FUTURE)
     assert ci.matches("x").num_rows == 0
+
+
+def test_future_mode_rejects_sort():
+    """Reference parity (base-inverted-index.ts:457-489): sort clauses
+    are meaningless over an unbounded future stream -> ValueError."""
+    ci = ContinuousIndex(_config())
+    with pytest.raises(ValueError, match="sort"):
+        ci.register(
+            "s",
+            dsl.token("red", field="tag"),
+            mode=MODE_FUTURE,
+            sort=[dsl.SortClause("num", dsl.ASC)],
+        )
+
+
+def test_register_validates_columns():
+    """Requested columns are validated once at register() time: an
+    IGNORED or non-STORED field raises instead of silently skipping
+    the projection (which would diverge current vs future schemas)."""
+    cfg = _config()
+    cfg.fields["hidden"] = FieldConfig(
+        flags=Flags.SEARCHABLE, kind=KIND_KEYWORD, add_to_all=False
+    )
+    cfg.fields["gone"] = FieldConfig(
+        flags=Flags.IGNORED, kind=KIND_KEYWORD, add_to_all=False
+    )
+    ci = ContinuousIndex(cfg)
+    ci.add(_table(30))
+    for bad in ("hidden", "gone"):
+        with pytest.raises(ValueError, match="stored"):
+            ci.register(
+                "b", dsl.token("red", field="tag"),
+                mode=MODE_CURRENT_AND_FUTURE, columns=[bad],
+            )
+    # valid stored column still projects (current part)
+    cur = ci.register(
+        "ok", dsl.token("red", field="tag"),
+        mode=MODE_CURRENT_AND_FUTURE, columns=["tag"],
+    )
+    assert cur.column_names == ["doc_id", "tag"]
+
+
+def test_reopen_recovers_uncommitted_stream_batches(ray_session, tmp_path):
+    """ADVICE r2: stream batches spilled after the last commit must
+    survive a crash — a reopened index rebuilds their segments, keeps
+    their doc-id ranges, folds them into the next commit(), and never
+    reissues their ids to new add() calls."""
+    cfg = _config()
+    t = _table(90)
+    d = str(tmp_path / "cidx_recover")
+    ci = ContinuousIndex(cfg, index_dir=d)
+    ci.add(t.slice(0, 30))
+    ci.commit()
+    ci.add(t.slice(30, 30))  # spilled but NOT committed
+    ci.close()  # "crash": the in-memory tail is gone
+
+    re = ContinuousIndex(cfg, index_dir=d)
+    # the orphaned batch is back: ids continue after the committed part
+    assert re._next_doc == 60
+    assert len(re._stream_files) == 1
+    # registrations see the recovered rows as CURRENT matches
+    cur = re.register(
+        "r", dsl.token("red", field="tag"), mode=MODE_CURRENT_AND_FUTURE
+    )
+    assert cur.num_rows == 20  # 10 per 30-row slice
+    # new adds continue AFTER the recovered range (no id collision)
+    out = re.add(t.slice(60, 30))
+    assert int(out["r"]["doc_id"].to_numpy().min()) >= 60
+    re.commit()
+    idx = Index(d)
+    try:
+        assert idx.count(dsl.all_query()) == 90
+        want = np.sort(idx.resolve(dsl.token("red", field="tag")))
+    finally:
+        idx.close()
+    got = np.sort(re.matches("r")["doc_id"].to_numpy())
+    assert np.array_equal(got, want)
+    re.close()

@@ -112,3 +112,19 @@ class TestBuildExpression:
 
     def test_empty_range_is_none(self):
         assert isinstance(build_expression(dsl.number_range("nd", 10, 10)), NoneExp)
+
+
+def test_plan_ir_is_value_hashable():
+    """Two independent plans of the same query are == and hash-equal —
+    the property the shard actors' resolve memo keys on (count() then
+    resolve() of the same filter must hit the memo)."""
+    from yaii_ray.engine import plan
+
+    q = lambda: dsl.and_query(
+        dsl.or_query(dsl.token("sort", "text"), dsl.token("window", "text")),
+        dsl.not_query(dsl.token("merge", "text")),
+    )
+    e1, e2 = plan(q()), plan(q())
+    assert e1 == e2
+    assert hash(e1) == hash(e2)
+    assert len({e1, e2}) == 1

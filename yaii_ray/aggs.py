@@ -144,6 +144,32 @@ def aggregate(index, filter: dsl.Query, aggs: list[Agg]) -> dict[str, Any]:
     return out
 
 
+def _final_partition_count(n_partial_rows: int, rows_per_partition: int = 65536) -> int:
+    """Final-stage reduce sizing (the ops/grouped.py rule, applied):
+    one reduce partition per ~64k partial rows. Modest group counts
+    collapse to 1 (every reduce partition stays populated — partial
+    rows ≥ distinct groups, and #blocks ≪ 64k, so partitions never
+    exceed the group count); a high-cardinality key gets a parallel
+    final stage instead of a single reducer."""
+    return max(1, n_partial_rows // rows_per_partition)
+
+
+def _first_per_code(
+    g: pd.DataFrame, codes: np.ndarray, srt: tuple, rename: dict[str, str]
+) -> np.ndarray:
+    """Row position of each group's top-1 under ``srt`` — one stable
+    whole-frame sort, then the first occurrence per group code
+    (identical winner to a per-group sort+head(1), vectorized)."""
+    view = g.rename(columns=rename) if rename else g
+    order = _sort_df(
+        view.assign(__pos=np.arange(len(view))), srt
+    )["__pos"].to_numpy()
+    # codes are 0..K-1 with every value present, so np.unique's
+    # ascending uniques align index i == code i
+    first_sorted = np.unique(codes[order], return_index=True)[1]
+    return order[first_sorted]
+
+
 def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
     sub = list(spec.aggs)
     gcol = spec.field
@@ -161,35 +187,66 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
     final_cols = [gcol, "count"] + partial_cols[2:]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for key, g in b.groupby(gcol, dropna=False, sort=False):
-            row = {gcol: key, "__n": len(g)}
-            for a in sub:
-                if isinstance(a, (First, Last)):
-                    srt = a.sort if isinstance(a, First) else _reverse(a.sort)
-                    win = _sort_df(g, srt).head(1).iloc[0]
-                    for c in sub_cols[a.name]:
-                        row[f"{a.name}.{c}"] = win[c]
-            rows.append(row)
-        return pd.DataFrame(rows, columns=partial_cols)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        row = {gcol: g[gcol].iloc[0], "count": int(g["__n"].sum())}
+        if not len(b):
+            return pd.DataFrame(columns=partial_cols)
+        codes, uniq = pd.factorize(b[gcol], use_na_sentinel=False)
+        out = pd.DataFrame({gcol: uniq, "__n": np.bincount(codes, minlength=len(uniq))})
         for a in sub:
             if isinstance(a, (First, Last)):
                 srt = a.sort if isinstance(a, First) else _reverse(a.sort)
-                renamed = g.rename(
-                    columns={f"{a.name}.{c}": c for c in sub_cols[a.name]}
-                )
-                win = _sort_df(renamed, srt).head(1).iloc[0]
+                win = _first_per_code(b, codes, srt, rename={})
                 for c in sub_cols[a.name]:
-                    row[f"{a.name}.{c}"] = win[c]
-        return pd.DataFrame([row], columns=final_cols)
+                    out[f"{a.name}.{c}"] = b[c].to_numpy()[win]
+        return out[partial_cols]
 
-    # partials total ≤ #blocks × #groups rows; collapsing them to one
-    # block keeps every reduce partition of the groupby populated (no
-    # schema-less empty RefBundles)
-    partials = ds.map_batches(partial, batch_format="pandas").repartition(1)
-    result = partials.groupby(gcol).map_groups(final, batch_format="pandas")
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(columns=final_cols)
+        codes, uniq = pd.factorize(g[gcol], use_na_sentinel=False)
+        out = pd.DataFrame(
+            {
+                gcol: uniq,
+                "count": np.bincount(
+                    codes, weights=g["__n"].to_numpy(), minlength=len(uniq)
+                ).astype(np.int64),
+            }
+        )
+        for a in sub:
+            if isinstance(a, (First, Last)):
+                srt = a.sort if isinstance(a, First) else _reverse(a.sort)
+                rename = {f"{a.name}.{c}": c for c in sub_cols[a.name]}
+                win = _first_per_code(g, codes, srt, rename)
+                for c in sub_cols[a.name]:
+                    out[f"{a.name}.{c}"] = g[f"{a.name}.{c}"].to_numpy()[win]
+        return out[final_cols]
+
+    # final-stage sizing by MEASURED partial volume (the partials are
+    # the pre-aggregated small side, so materializing them is cheap):
+    # modest group counts collapse to one populated reduce partition;
+    # a high-cardinality key keeps a parallel final stage. Keys are
+    # re-bucketed by hash so each map_groups call merges a whole
+    # BUCKET of groups vectorized (not one Python call per group).
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    nparts = _final_partition_count(partials.count())
+
+    def add_kb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__kb"] = (
+            pd.util.hash_array(b[gcol].to_numpy()) % np.uint64(nparts)
+        ).astype(np.int64)
+        return b
+
+    def final_group(g: pd.DataFrame) -> pd.DataFrame:
+        return final_bucket(g.drop(columns="__kb"))
+
+    result = (
+        partials.map_batches(add_kb, batch_format="pandas")
+        # ≥ ~4 buckets per reduce partition (joins.py sizing): more
+        # blocks than populated buckets would leave reduce partitions
+        # empty (schema-less RefBundles)
+        .repartition(max(1, nparts // 4))
+        .groupby("__kb")
+        .map_groups(final_group, batch_format="pandas")
+    )
     df = result.to_pandas()
     return df.sort_values(gcol).reset_index(drop=True)

@@ -120,20 +120,45 @@ class ContinuousIndex:
             units = [u for seg in man["segments"] for u in seg["units"]]
             self._committed_files = list(dict.fromkeys(u["path"] for u in units))
             self._committed_rows = sum(u["rows"] for u in units)
-        if index_dir:
-            sdir = os.path.join(index_dir, "stream")
-            os.makedirs(sdir, exist_ok=True)
-            existing = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
-            if existing:
-                self._batch_seq = 1 + max(
-                    int(f.split("-")[1].split(".")[0]) for f in existing
-                )
         self._next_doc = self._committed_rows
         self._segs: list[MemorySegment] = []
         self._tables: list[pa.Table] = []  # doc_id + stored columns
         self._offsets: list[int] = []
         self._stream_files: list[str] = []
         self._regs: dict[str, _Registration] = {}
+        if index_dir:
+            sdir = os.path.join(index_dir, "stream")
+            os.makedirs(sdir, exist_ok=True)
+            existing = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            if existing:
+                self._batch_seq = 1 + max(
+                    int(f.split("-")[1].split(".")[0]) for f in existing
+                )
+            # crash recovery: stream batches spilled after the last
+            # commit are NOT in the manifest — rebuild their in-memory
+            # segments (name order == seq order == ingestion order, so
+            # every batch gets back its pre-crash doc-id range) and
+            # re-queue them so the next commit() folds them in instead
+            # of silently dropping them / reissuing their ids.
+            import pyarrow.parquet as pq
+
+            committed = set(self._committed_files)
+            for f in existing:
+                path = os.path.join(sdir, f)
+                if path in committed:
+                    continue
+                table = pq.read_table(path)
+                n = table.num_rows
+                ids = np.arange(
+                    self._next_doc, self._next_doc + n, dtype=np.uint64
+                )
+                self._segs.append(MemorySegment(table, ids, self.config))
+                self._tables.append(self._stored_view(table, ids))
+                self._offsets.append(self._next_doc)
+                self._stream_files.append(path)
+                self._next_doc += n
 
     # ---- helpers ---------------------------------------------------
 
@@ -217,6 +242,17 @@ class ContinuousIndex:
 
         if mode not in (MODE_CURRENT, MODE_CURRENT_AND_FUTURE, MODE_FUTURE):
             raise ValueError(f"unknown mode: {mode}")
+        if mode == MODE_FUTURE and sort:
+            # reference semantics: sorting is meaningless over an
+            # unbounded future stream, so FUTURE-mode registrations
+            # reject sort clauses (base-inverted-index.ts:457-489)
+            raise ValueError("sort is not supported in FUTURE mode")
+        for c in columns or []:
+            if c == "doc_id":
+                continue
+            fc = self.config.resolve(c)
+            if fc.flags & Flags.IGNORED or not fc.flags & Flags.STORED:
+                raise ValueError(f"column {c!r} is not a stored field")
         reg = _Registration(
             name=name, filter=filter, exp=plan(filter), mode=mode,
             sort=sort, columns=columns, remaining=None,
@@ -237,9 +273,10 @@ class ContinuousIndex:
             elif limit is not None:
                 rows = rows.slice(0, limit)
                 reg.remaining = limit - rows.num_rows
-            if columns is not None and all(
-                c in rows.column_names for c in columns
-            ):
+            if columns is not None:
+                # unconditional, like add(): a validated-but-absent
+                # column raises here instead of silently skipping the
+                # projection and diverging from the future schema
                 rows = rows.select(
                     ["doc_id"] + [c for c in columns if c != "doc_id"]
                 )

@@ -86,25 +86,45 @@ def text_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Append ``lang_guess``: argmax function-word hit rate (ties ->
-    'und'). Deterministic heuristic, no external model."""
+    """Append ``lang_guess``: argmax function-word hit count (ties or
+    zero hits -> 'und'). Deterministic heuristic, no external model.
+
+    Fully vectorized (the text_stats_batch pattern): one Arrow regex
+    split for the whole batch, one ``pc.is_in`` membership pass per
+    language over the flat token array, per-doc sums via
+    ``np.add.reduceat`` — no per-row Python. Tokenization parity with
+    ``str.split()``: empty tokens from the ``\\s+`` split are never
+    function words, so they cannot affect any score."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     langs = sorted(_FUNCTION_WORDS)
-    guesses = []
-    for text in pc.fill_null(arr, "").to_pylist():
-        words = text.lower().split()
-        if not words:
-            guesses.append("und")
-            continue
-        scores = [sum(w in _FUNCTION_WORDS[L] for w in words) for L in langs]
-        best = max(scores)
-        if best == 0 or scores.count(best) > 1:
-            guesses.append("und")
-        else:
-            guesses.append(langs[int(np.argmax(scores))])
-    return batch.append_column("lang_guess", pa.array(guesses, type=pa.string()))
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(arr, "")), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    counts = np.diff(offsets - base)
+    starts = (offsets - base)[:-1]
+    nonzero = counts > 0
+    flat = toks.values
+    scores = np.zeros((len(batch), len(langs)), dtype=np.int64)
+    if len(flat):
+        for li, L in enumerate(langs):
+            hit = pc.is_in(
+                flat, value_set=pa.array(sorted(_FUNCTION_WORDS[L]))
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            scores[nonzero, li] = np.add.reduceat(hit, starts[nonzero])
+    best = scores.max(axis=1)
+    ties = (scores == best[:, None]).sum(axis=1)
+    guesses = np.where(
+        (best == 0) | (ties > 1), "und", np.asarray(langs, dtype=object)[scores.argmax(axis=1)]
+    )
+    return batch.append_column(
+        "lang_guess", pa.array(guesses.astype(object), type=pa.string())
+    )
 
 
 # GPT-2-style pre-tokenizer pattern (public; contractions, word

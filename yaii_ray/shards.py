@@ -471,18 +471,39 @@ def make_shard_actor():
                 load_manifest(index_dir), shard_id,
                 payload_cache_bytes, decoded_cache_bytes,
             )
+            # tiny LRU over whole-expression resolves: a sorted+limited
+            # query calls count() then resolve()/resolve_refs() with
+            # the SAME exp — the second call must not redo the resolve
+            # work (IR nodes are hashable by value). Results are
+            # treated as immutable by every consumer.
+            from collections import OrderedDict
+
+            self._resolve_memo: "OrderedDict[ir.Exp, np.ndarray]" = OrderedDict()
+
+        _RESOLVE_MEMO_SIZE = 4
+
+        def _resolve(self, exp: ir.Exp) -> np.ndarray:
+            hit = self._resolve_memo.get(exp)
+            if hit is None:
+                hit = self.state.resolve(exp)
+                self._resolve_memo[exp] = hit
+                while len(self._resolve_memo) > self._RESOLVE_MEMO_SIZE:
+                    self._resolve_memo.popitem(last=False)
+            else:
+                self._resolve_memo.move_to_end(exp)
+            return hit
 
         def resolve(self, exp: ir.Exp) -> np.ndarray:
-            return self.state.resolve(exp)
+            return self._resolve(exp)
 
         def count(self, exp: ir.Exp) -> int:
             """Match count only — no id array leaves the shard."""
-            return int(self.state.resolve(exp).size)
+            return int(self._resolve(exp).size)
 
         def resolve_head(self, exp: ir.Exp, limit: int) -> np.ndarray:
             """First ``limit`` matching ids (doc order) — bounds the
             driver merge for unsorted limited queries."""
-            return self.state.resolve(exp)[:limit]
+            return self._resolve(exp)[:limit]
 
         def search_bm25(self, *args, **kw):
             return self.state.search_bm25(*args, **kw)
