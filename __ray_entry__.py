@@ -512,6 +512,44 @@ def _q_multimodal_image_meta(sf_dir: str) -> Any:
     return out[["doc_id", "width", "height"]]
 
 
+def _q_multimodal_audio_frames(sf_dir: str) -> Any:
+    """Multimodal audio plumbing: attach a deterministic fake audio
+    payload per doc (binary column), frame-sample it in an actor-pool
+    map_batches stage (every 16th sample, first 4). The deterministic
+    geometry (rate, frame count = min(4, ceil(n/16))) has an exact SQL
+    twin; sample-value exactness is tests/test_ops.py."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.ops import multimodal as mm
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        auds = [
+            mm.encode_fake_audio(
+                8000 + (int(i) % 4) * 4000, 16 + int(i) % 100, seed=int(i)
+            )
+            for i in ids
+        ]
+        return b.append_column("audio", pa.array(auds, type=pa.binary()))
+
+    def frame_count(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_frames", pc.cast(pc.list_value_length(b["frames"]), pa.int64())
+        ).drop_columns(["frames"])
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id"])
+        .map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            mm.AudioFrameSample(stride=16, max_frames=4),
+            concurrency=2, batch_size=256, batch_format="pyarrow",
+        )
+        .map_batches(frame_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "rate", "n_frames"]]
+
+
 def _q_embed_cosine_pairs(sf_dir: str) -> Any:
     import ray.data
 
@@ -810,6 +848,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_image_meta": _q_multimodal_image_meta,
+    "multimodal_audio_frames": _q_multimodal_audio_frames,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
     "text_stats": _q_text_stats,
@@ -1030,6 +1069,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": """
             SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width,
                    CAST(16 AS INT) AS height
+            FROM documents""",
+        # n = 16 + doc_id % 100 samples at stride 16, first 4 frames:
+        # n_frames = min(4, ceil(n / 16))
+        "multimodal_audio_frames": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+                   CAST(least(4, ceil((16 + doc_id % 100) / 16.0)) AS BIGINT)
+                     AS n_frames
             FROM documents""",
         "embed_cosine_pairs": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -538,3 +538,133 @@ def test_distributed_verify_planted_100k_pairs(ray_session, monkeypatch):
     assert list(got["a"]) == list(want["a"])
     assert list(got["b"]) == list(want["b"])
     assert np.allclose(got["jaccard"], want["jaccard"])
+
+
+def test_hamming_ball_matches_scan_and_scales():
+    """Probe-set enumeration must equal the old O(2^nbits) scan at
+    small nbits and stay usable at nbits=24 (where the scan is 16M)."""
+    for nbits, r in [(10, 0), (10, 1), (10, 2), (8, 3)]:
+        base = 0b1011001 & ((1 << nbits) - 1)
+        want = np.array(
+            [s for s in range(1 << nbits) if bin(s ^ base).count("1") <= r],
+            dtype=np.int64,
+        )
+        got = ann._hamming_ball(base, nbits, r)
+        assert np.array_equal(got, want)
+    big = ann._hamming_ball(12345, 24, 2)
+    assert big.size == 1 + 24 + 24 * 23 // 2
+    assert (np.sort(big) == big).all()
+
+
+def test_ivf_pairs_bounded_under_skew(ray_session, tmp_path):
+    """VERDICT r2 #5: a clustered corpus that collapses into one
+    Voronoi cell must NOT enumerate an O(cell^2) triangle — oversized
+    buckets recursively sub-split, planted exact-duplicate pairs stay
+    recall-1.0, and every reported pair is a true >=tau pair."""
+    import ray.data
+
+    rng = np.random.default_rng(21)
+    dim, n_noise, n_dup_groups, dup_size = 8, 1800, 20, 5
+    base = rng.standard_normal(dim)
+    # skew: every vector near one direction -> one hot Voronoi cell
+    noise = base[None, :] + 0.05 * rng.standard_normal((n_noise, dim))
+    dup_centers = base[None, :] + 0.05 * rng.standard_normal((n_dup_groups, dim))
+    dups = np.repeat(dup_centers, dup_size, axis=0)  # exact duplicates
+    V = np.concatenate([noise, dups])
+    ids = np.arange(len(V), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(V.astype(np.float64))),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = dedup.embedding_cosine_pairs_ivf(
+        ds, tau=0.9999, nlist=8, path=str(tmp_path / "ivf_skew"),
+        max_bucket=64,
+    ).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    # planted exact-dup pairs (cosine 1.0) share every sub-bucket split
+    for gidx in range(n_dup_groups):
+        members = n_noise + gidx * dup_size + np.arange(dup_size)
+        for i in range(dup_size):
+            for j in range(i + 1, dup_size):
+                assert (members[i], members[j]) in pairs
+    # soundness: every reported pair really clears tau
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for a, b, c in zip(got["a"], got["b"], got["cosine"]):
+        assert Vn[a] @ Vn[b] >= 0.9999 - 1e-9
+        assert abs(Vn[a] @ Vn[b] - c) < 1e-9
+
+
+def test_cosine_pairs_bounded_enumeration_sizes():
+    """The recursive splitter never enumerates a non-degenerate
+    triangle larger than max_bucket, and matches brute force exactly
+    on diverse data."""
+    rng = np.random.default_rng(4)
+    n, dim, mb = 3000, 6, 100
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    sizes: list = []
+    a, b, c = dedup._cosine_pairs_bounded(ids, V, tau=0.95, max_bucket=mb, _sizes=sizes)
+    assert max(sizes) <= mb  # diverse data: no degenerate fallback
+    # subset-of-brute soundness + exact cosines
+    sims = V @ V.T
+    for x, y, cc in zip(a, b, c):
+        assert sims[x, y] >= 0.95
+        assert abs(sims[x, y] - cc) < 1e-12
+
+
+def test_image_resize_pool_matches_loop_reference():
+    """Integral-image pooling == the per-cell loop it replaced,
+    including the h<GRID overlapping-window edge."""
+    rf = multimodal.ImageResizeFeature()
+    g = rf.GRID
+    for w, h, seed in [(16, 8, 0), (5, 3, 1), (37, 23, 2), (8, 8, 3), (64, 2, 4)]:
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+        ys = np.linspace(0, h, g + 1).astype(int)
+        xs = np.linspace(0, w, g + 1).astype(int)
+        want = np.array(
+            [
+                pix[ys[i]: max(ys[i + 1], ys[i] + 1),
+                    xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+                for i in range(g)
+                for j in range(g)
+            ]
+        ) / 255.0
+        got = rf._pool(pix)
+        assert np.allclose(got, want, atol=1e-12)
+
+
+def test_audio_frame_count_geometry(ray_session):
+    """AudioFrameSample frame count == min(max_frames, ceil(n/stride))
+    — the deterministic geometry the multimodal_audio_frames oracle
+    checks in SQL."""
+    import ray.data
+
+    ns = [16, 17, 31, 32, 33, 63, 64, 65, 115]
+    t = pa.table(
+        {
+            "aud_id": pa.array(range(len(ns)), type=pa.int64()),
+            "audio": pa.array(
+                [multimodal.encode_fake_audio(8000, n, seed=i) for i, n in enumerate(ns)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            multimodal.AudioFrameSample(stride=16, max_frames=4),
+            batch_size=4, concurrency=2, batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("aud_id")
+    )
+    want = [min(4, -(-n // 16)) for n in ns]
+    assert [len(f) for f in out["frames"]] == want
+    # values are the strided samples themselves
+    s0 = np.frombuffer(t["audio"][0].as_py(), np.float32, ns[0], 12)
+    assert np.array_equal(out["frames"].iloc[0], s0[::16][:4])

@@ -244,6 +244,23 @@ class IVFIndex:
         return _merge_topk(parts, k)
 
 
+def _hamming_ball(base: int, nbits: int, radius: int) -> np.ndarray:
+    """All ``nbits``-bit signatures within Hamming distance <= radius
+    of ``base``, ascending — direct enumeration of the bit-flip
+    combinations (O(Σ C(nbits, i)) work, usable at nbits=24+), not an
+    O(2^nbits) scan. Same set, same ascending order as the scan."""
+    from itertools import combinations
+
+    sigs = [base]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            sigs.append(base ^ mask)
+    return np.unique(np.asarray(sigs, dtype=np.int64))
+
+
 class LSHIndex:
     """Random-hyperplane LSH over signature-partitioned Parquet.
 
@@ -320,12 +337,9 @@ class LSHIndex:
             if probe_hamming is not None:
                 # deterministic Hamming ball (SQL twin:
                 # bit_count(xor(sig, qsig)) <= r)
-                sigs = [
-                    s
-                    for s in range(1 << self.nbits)
-                    if bin(s ^ int(base[qi])).count("1") <= probe_hamming
-                ]
-                out.append(np.array(sigs, dtype=np.int64))
+                out.append(
+                    _hamming_ball(int(base[qi]), self.nbits, probe_hamming)
+                )
             else:
                 flip_order = np.argsort(np.abs(margins[qi]), kind="stable")
                 sigs = [int(base[qi])]

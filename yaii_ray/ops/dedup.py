@@ -811,6 +811,61 @@ def embedding_cosine_pairs(ds, tau: float, id_col: str = "vec_id", vec_col: str 
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+def _cosine_pairs_bounded(
+    ids: np.ndarray,
+    V: np.ndarray,
+    tau: float,
+    max_bucket: int,
+    _sizes: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact within-set cosine>=tau pairs with BOUNDED enumeration:
+    a set larger than ``max_bucket`` is recursively split by
+    deterministic sub-centroids (strided members in id order, cosine
+    argmax — the IVF assignment rule one level down) and pairs are
+    emitted only within sub-buckets. This is the skew guard for
+    :func:`embedding_cosine_pairs_ivf`: a Voronoi cell that swallowed
+    most of a clustered corpus no longer costs O(cell²). Degenerate
+    sets that refuse to split (near-identical vectors all argmax-ing
+    to one sub-centroid) fall back to the all-pairs triangle — there
+    the pair set itself is dense, so the work is output-bound.
+    ``V`` must be row-normalized. ``_sizes`` (tests) records each
+    enumerated triangle's size."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    stack: list[np.ndarray] = [np.arange(ids.size, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        n = idx.size
+        if n < 2:
+            continue
+        if n > max_bucket:
+            k = min(n, max(2, -(-n // max_bucket)))
+            order = idx[np.argsort(ids[idx], kind="stable")]
+            sel = order[:: max(1, n // k)][:k]
+            C = V[sel]
+            assign = np.argmax(V[idx] @ C.T, axis=1)
+            counts = np.bincount(assign, minlength=k)
+            if counts.max() < n:
+                for j in np.flatnonzero(counts):
+                    stack.append(idx[assign == j])
+                continue
+            # no progress: dense near-identical cluster, enumerate
+        if _sizes is not None:
+            _sizes.append(n)
+        sims = V[idx] @ V[idx].T
+        iu, ju = np.triu_indices(n, k=1)
+        m = sims[iu, ju] >= tau
+        a, b = ids[idx[iu[m]]], ids[idx[ju[m]]]
+        out_a.append(np.minimum(a, b))
+        out_b.append(np.maximum(a, b))
+        out_c.append(sims[iu, ju][m].astype(np.float64))
+    if not out_a:
+        z = np.zeros(0, dtype=ids.dtype if ids.size else np.int64)
+        return z, z.copy(), np.zeros(0, dtype=np.float64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
+
+
 def embedding_cosine_pairs_ivf(
     ds,
     tau: float,
@@ -820,6 +875,7 @@ def embedding_cosine_pairs_ivf(
     path: str | None = None,
     iters: int = 0,
     seed: int = 13,
+    max_bucket: int | None = None,
 ):
     """Scale path for embedding near-dup: IVF-bucket the corpus
     (``ops.ann.IVFIndex`` fit → bucket-partitioned Parquet, driver
@@ -827,12 +883,18 @@ def embedding_cosine_pairs_ivf(
     bucket via ``groupby('centroid')`` — O(Σ bucketᵢ²) compute and one
     shuffle instead of the brute path's O(N²) against a broadcast
     full matrix. Bucket depth ≈ N/nlist; raise ``nlist`` at scale to
-    bound it. Recall: misses only cross-bucket pairs (near-identical
-    vectors share a Voronoi cell except on cell boundaries — use
+    bound it, and set ``max_bucket`` to cap SKEWED cells: a Voronoi
+    cell deeper than ``max_bucket`` is recursively sub-split by
+    deterministic sub-centroids before enumeration
+    (:func:`_cosine_pairs_bounded` — pairs then stay within
+    sub-buckets, one more level of the same IVF recall trade).
+    Recall: misses only cross-bucket pairs (near-identical vectors
+    share a Voronoi cell except on cell boundaries — use
     :func:`embedding_cosine_pairs` when exactness is required).
-    ``iters=0`` makes every step (strided seeding, argmax assignment,
-    triangle enumeration) a deterministic function of the table, so
-    the driver oracle replays it exactly in SQL."""
+    ``iters=0`` + ``max_bucket=None`` makes every step (strided
+    seeding, argmax assignment, triangle enumeration) a deterministic
+    function of the table, so the driver oracle replays it exactly in
+    SQL."""
     import ray.data
 
     from yaii_ray.ops.ann import IVFIndex
@@ -845,6 +907,11 @@ def embedding_cosine_pairs_ivf(
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
         V = _normalize(_vec_matrix(g[vec_col]))
+        if max_bucket is not None and ids.size > max_bucket:
+            lo, hi, cos = _cosine_pairs_bounded(ids, V, tau, max_bucket)
+            return pa.table(
+                {"a": pa.array(lo), "b": pa.array(hi), "cosine": pa.array(cos)}
+            )
         sims = V @ V.T
         iu, ju = np.triu_indices(len(ids), k=1)
         m = sims[iu, ju] >= tau

@@ -155,6 +155,29 @@ class ImageResizeFeature:
 
     GRID = 8
 
+    def _pool(self, pix: np.ndarray) -> np.ndarray:
+        """Vectorized average pooling over the g×g cell grid: one 2-D
+        cumulative sum (integral image), then every cell's sum is four
+        lookups — no per-cell Python loop. Cells span
+        ``[ys[i], max(ys[i+1], ys[i]+1))`` so images smaller than the
+        grid pool overlapping ≥1-pixel windows."""
+        h, w = pix.shape
+        g = self.GRID
+        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+        np.cumsum(np.cumsum(pix, axis=0), axis=1, out=ii[1:, 1:])
+        ys = np.linspace(0, h, g + 1).astype(int)
+        xs = np.linspace(0, w, g + 1).astype(int)
+        y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+        x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+        sums = (
+            ii[np.ix_(y1, x1)]
+            - ii[np.ix_(y0, x1)]
+            - ii[np.ix_(y1, x0)]
+            + ii[np.ix_(y0, x0)]
+        )
+        areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+        return (sums / areas).ravel() / 255.0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch["image"].to_pylist():
@@ -163,17 +186,7 @@ class ImageResizeFeature:
             w = int(np.frombuffer(p, np.uint16, 1, 4)[0])
             h = int(np.frombuffer(p, np.uint16, 1, 6)[0])
             pix = np.frombuffer(p, np.uint8, w * h, 8).reshape(h, w).astype(np.float64)
-            g = self.GRID
-            ys = np.linspace(0, h, g + 1).astype(int)
-            xs = np.linspace(0, w, g + 1).astype(int)
-            feat = np.array(
-                [
-                    pix[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-                    for i in range(g)
-                    for j in range(g)
-                ]
-            )
-            feats.append(feat / 255.0)
+            feats.append(self._pool(pix))
         flat = pa.array(np.concatenate(feats) if feats else np.zeros(0), type=pa.float32())
         return batch.drop_columns(["image"]).append_column(
             "feature", pa.FixedSizeListArray.from_arrays(flat, self.GRID * self.GRID)
