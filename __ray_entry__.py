@@ -370,6 +370,22 @@ def _q_near_dup_minhash(sf_dir: str) -> Any:
     return got[["a", "b", "jaccard_r"]]
 
 
+def _q_near_dup_minhash_ray(sf_dir: str) -> Any:
+    """Same funnel as near_dup_minhash but with the DISTRIBUTED verify
+    stage forced (ops/dedup.jaccard_verify_pairs_ray: pair-bucket
+    dedup, one shingle-delivery hash join, vectorized per-bucket set
+    intersection) — the path for candidate sets that no longer fit a
+    driver loop. Shares near_dup_minhash's SQL oracle: the hash match
+    proves the Ray stage is bit-identical to the driver loop."""
+    from yaii_ray.ops import dedup
+
+    got = dedup.near_dup_pairs_minhash(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]), tau=0.4, verify="ray"
+    )
+    got["jaccard_r"] = got["jaccard"].round(6)
+    return got[["a", "b", "jaccard_r"]]
+
+
 def _q_simhash_pairs(sf_dir: str) -> Any:
     """SimHash near-dup pairs at Hamming<=7. The signature (md5 token
     hash, count-weighted bit votes, strict-majority rule) is
@@ -842,6 +858,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": _q_dedup_exact,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
+    "near_dup_minhash_ray": _q_near_dup_minhash_ray,
     "simhash_pairs": _q_simhash_pairs,
     "near_dup_cluster": _q_near_dup_cluster,
     "near_dup_cluster_ray": _q_near_dup_cluster_ray,
@@ -1242,8 +1259,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b""",
     }
     # identical semantics, different execution engine (all-Ray label
-    # propagation vs driver union-find)
+    # propagation vs driver union-find; distributed map_groups verify
+    # vs driver per-pair loop)
     oracles["near_dup_cluster_ray"] = oracles["near_dup_cluster"]
+    oracles["near_dup_minhash_ray"] = oracles["near_dup_minhash"]
     return oracles
 
 

@@ -668,3 +668,19 @@ def test_audio_frame_count_geometry(ray_session):
     # values are the strided samples themselves
     s0 = np.frombuffer(t["audio"][0].as_py(), np.float32, ns[0], 12)
     assert np.array_equal(out["frames"].iloc[0], s0[::16][:4])
+
+
+def test_dedup_near_ray_matches_driver_variant(docs_ds):
+    """dedup_near_ray (all-Ray funnel + verify + components) produces
+    the same clusters/keep set as the driver-side dedup_near."""
+    ds, t = docs_ds
+    want = dedup.dedup_near(ds, tau=0.5).sort_values("id").reset_index(drop=True)
+    got = (
+        dedup.dedup_near_ray(ds, tau=0.5, nbuckets=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(got["id"]) == list(want["id"])
+    assert list(got["cluster"]) == list(want["cluster"])
+    assert list(got["keep"]) == list(want["keep"])

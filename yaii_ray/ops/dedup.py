@@ -251,6 +251,7 @@ def jaccard_verify_pairs_ray(
     ngram: int = 3,
     tau: float = 0.5,
     nbuckets: int = 16,
+    collect: bool = True,
 ) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs AS A RAY STAGE —
     the scale path for funnels where the candidate set (10^6-10^8 pairs
@@ -269,7 +270,9 @@ def jaccard_verify_pairs_ray(
 
     A pair with an empty-shingle side never survives the inner join
     with both docs present, so it is skipped — the same semantics as
-    :func:`jaccard_pairs_exact`.
+    :func:`jaccard_pairs_exact`. ``collect=False`` returns the
+    verified-pairs Dataset instead of a driver DataFrame (for chaining
+    into :func:`connected_components_ray` without materializing).
     """
     from yaii_ray.ops.joins import partitioned_hash_join
 
@@ -350,27 +353,31 @@ def jaccard_verify_pairs_ray(
             }
         )
 
-    out = (
+    verified = (
         joined.map_batches(add_pb, batch_format="pyarrow")
         .repartition(coalesced)
         .groupby("__pb")
         .map_groups(verify_bucket, batch_format="pyarrow")
-        .to_pandas()
     )
-    return out
+    return verified.to_pandas() if collect else verified
 
 
 def _verified_pairs(
     ds, cands_ds, col: str, id_col: str, ngram: int, tau: float,
-    nbuckets: int = 16,
+    nbuckets: int = 16, verify: str = "auto",
 ) -> pd.DataFrame:
-    """Verify a candidate-pair Dataset: driver fast path below
-    ``VERIFY_DRIVER_MAX_PAIRS``, distributed Ray verify above it."""
+    """Verify a candidate-pair Dataset. ``verify``: ``"auto"`` =
+    driver fast path below ``VERIFY_DRIVER_MAX_PAIRS``, distributed
+    Ray verify above it; ``"driver"`` / ``"ray"`` force a path."""
     cands_ds = cands_ds.materialize()
     n = cands_ds.count()
     if n == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    if n <= VERIFY_DRIVER_MAX_PAIRS:
+    use_driver = (
+        verify == "driver"
+        or (verify == "auto" and n <= VERIFY_DRIVER_MAX_PAIRS)
+    )
+    if use_driver:
         cands = cands_ds.to_pandas().drop_duplicates().reset_index(drop=True)
         need = np.unique(
             np.concatenate([cands["a"].to_numpy(), cands["b"].to_numpy()])
@@ -393,6 +400,7 @@ def near_dup_pairs_minhash(
     bands: int = 32,
     rows: int = 4,
     ngram: int = 3,
+    verify: str = "auto",
 ):
     """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
     Returns a pandas DataFrame (a, b, jaccard), a < b, sorted.
@@ -400,7 +408,8 @@ def near_dup_pairs_minhash(
     The scale path end-to-end: signatures and band rows are per-batch
     map_batches; bucketing is ONE groupby shuffle; verification runs
     on the driver only below ``VERIFY_DRIVER_MAX_PAIRS`` candidates,
-    else as the distributed :func:`jaccard_verify_pairs_ray` stage."""
+    else as the distributed :func:`jaccard_verify_pairs_ray` stage
+    (``verify="driver"``/``"ray"`` forces a path)."""
     sigs = ds.map_batches(
         lambda t: minhash_batch(t, col, id_col, num_perm, ngram),
         batch_format="pyarrow",
@@ -411,7 +420,7 @@ def near_dup_pairs_minhash(
     cands_ds = band_rows.groupby(["band", "band_hash"]).map_groups(
         lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas"
     )
-    return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau)
+    return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau, verify=verify)
 
 
 def near_dup_pairs_exact(
@@ -744,6 +753,63 @@ def connected_components_ray(
     return labels.map_batches(out, batch_format="pyarrow")
 
 
+def near_dup_pairs_minhash_ds(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    ngram: int = 3,
+    nbuckets: int = 16,
+):
+    """Fully-distributed MinHash near-dup pairs: the verified
+    (a, b, jaccard) Dataset, with candidates AND verification staying
+    in Ray end to end (no driver collection at any step) — the
+    composable building block for :func:`dedup_near_ray`."""
+    sigs = ds.map_batches(
+        lambda t: minhash_batch(t, col, id_col, num_perm, ngram),
+        batch_format="pyarrow",
+    )
+    band_rows = sigs.map_batches(
+        lambda t: lsh_band_rows(t, id_col, bands, rows), batch_format="pyarrow"
+    )
+    cands_ds = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas"
+    )
+    return jaccard_verify_pairs_ray(
+        ds, cands_ds, col, id_col, ngram, tau, nbuckets, collect=False
+    )
+
+
+def dedup_near_ray(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    nbuckets: int = 32,
+    **minhash_kw,
+):
+    """All-Ray end-to-end near-dedup: distributed MinHash funnel +
+    distributed exact-Jaccard verify + pointer-jumping connected
+    components. Returns a Dataset ``(id, cluster, keep)`` — nothing
+    pair- or corpus-sized ever reaches the driver (contrast
+    :func:`dedup_near`, the funnel-sized driver variant)."""
+    pairs_ds = near_dup_pairs_minhash_ds(ds, col, id_col, tau, **minhash_kw)
+    ids_ds = ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    )
+    cc = connected_components_ray(pairs_ds, ids_ds, id_col=id_col, nbuckets=nbuckets)
+
+    def keep_col(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column("keep", pc.equal(b["id"], b["cluster"]))
+
+    return cc.map_batches(keep_col, batch_format="pyarrow")
+
+
 def dedup_near(
     ds,
     col: str = "text",
@@ -753,7 +819,9 @@ def dedup_near(
 ) -> pd.DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs -> exact-Jaccard verify
     -> connected components -> keep the min-id member per cluster.
-    Returns (id, cluster, keep)."""
+    Returns (id, cluster, keep). Funnel-sized pair sets only (pairs and
+    ids transit the driver) — :func:`dedup_near_ray` is the all-Ray
+    twin for corpora where they don't fit."""
     pairs = near_dup_pairs_minhash(ds, col, id_col, tau, **minhash_kw)
     ids = np.sort(
         np.concatenate(
