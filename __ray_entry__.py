@@ -342,6 +342,26 @@ def _q_dedup_exact(sf_dir: str) -> Any:
     return surv[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curate_docs(sf_dir: str) -> Any:
+    """Composed curation pipeline (yaii_ray.pipelines.curate): text
+    stats + language ID per batch -> quality>=0.5 AND guessed lang in
+    (en, fr) filter -> exact content dedup keeping the min-id row.
+    Every stage deterministic, so the oracle replays the whole
+    composition in SQL (quality formula + function-word argmax + min-id
+    per distinct text among survivors)."""
+    from yaii_ray.pipelines import curate
+
+    out = curate(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"]),
+        min_quality=0.5,
+        langs=("en", "fr"),
+    ).to_pandas()
+    out["quality_r"] = out["quality"].round(6)
+    return out[["doc_id", "lang_guess", "quality_r"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def _q_near_dup_jaccard(sf_dir: str) -> Any:
     """Exact word-3-gram Jaccard near-dup pairs (tau=0.4) via the
     inverted shingle index; SQL oracle recomputes all pairs."""
@@ -856,6 +876,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "session_windows": _q_session_windows,
     "hopping_window": _q_hopping_window,
     "dedup_exact": _q_dedup_exact,
+    "curate_docs": _q_curate_docs,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
     "near_dup_minhash_ray": _q_near_dup_minhash_ray,
@@ -1151,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5
             FROM documents""",
         "lang_id": _lang_id_sql(),
+        "curate_docs": _curate_sql(),
         # registration happens after the first of 5 micro-batches =
         # after floor(n/5) docs; doc_id == row order for this table
         "continuous_future": """
@@ -1319,6 +1341,48 @@ def _minhash_sql(tau: float = 0.4, num_perm: int = 128, rows: int = 4, seed: int
         WHERE len(list_intersect(xa.s, yb.s))::DOUBLE
               / (len(xa.s) + len(yb.s) - len(list_intersect(xa.s, yb.s))) >= {tau}
         ORDER BY a, b"""
+
+
+def _curate_sql(min_quality: float = 0.5, langs: tuple = ("en", "fr")) -> str:
+    """SQL twin of pipelines.curate(min_quality, langs): the
+    text_stats quality formula + the lang_id argmax (both reused from
+    their standalone oracles), threshold on the 6-decimal ROUNDED
+    quality (same rule as the engine — float boundaries cannot flip
+    membership), then min-id per distinct text among the survivors."""
+    stop = _stoplist_sql()
+    lang_sql = _lang_id_sql()
+    in_langs = ", ".join(f"'{L}'" for L in langs)
+    return f"""
+        WITH lang AS ({lang_sql}),
+        qual AS (
+          WITH toks AS (SELECT doc_id, text, {_TOKENIZE} AS t FROM documents),
+          m AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   len(list_filter(t, x -> x IN ({stop})))::DOUBLE
+                     / greatest(len(t), 1) AS stop_ratio,
+                   len(regexp_extract_all(text,
+                       '[,.;:!?\\-—''"()\\[\\]{{}}]'))::DOUBLE
+                     / greatest(len(text), 1) AS punct_ratio
+            FROM toks
+          )
+          SELECT doc_id,
+                 (least(n_tokens, 100) / 100.0
+                  + least(stop_ratio * 3.0, 1.0)
+                  + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0 AS quality
+          FROM m
+        ),
+        filt AS (
+          SELECT d.doc_id, d.text, lang.lang_guess, qual.quality
+          FROM documents d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+          WHERE round(qual.quality, 6) >= {min_quality}
+            AND lang.lang_guess IN ({in_langs})
+        )
+        SELECT f.doc_id, f.lang_guess, round(f.quality, 6) AS quality_r
+        FROM filt f
+        JOIN (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text) k
+          USING (doc_id)
+        ORDER BY doc_id"""
 
 
 def _lang_id_sql() -> str:

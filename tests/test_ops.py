@@ -684,3 +684,40 @@ def test_dedup_near_ray_matches_driver_variant(docs_ds):
     assert list(got["id"]) == list(want["id"])
     assert list(got["cluster"]) == list(want["cluster"])
     assert list(got["keep"]) == list(want["keep"])
+
+
+def test_curate_pipeline_composition(docs_ds):
+    """pipelines.curate == score -> filter -> exact-dedup composed by
+    hand from the same batch functions."""
+    from yaii_ray import pipelines
+
+    ds, t = docs_ds
+    got = (
+        pipelines.curate(ds, min_quality=0.0, langs=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # langs=None, min_quality=0.0: only the dedup stage filters —
+    # doc 45 (exact copy of 7) drops, score columns present
+    assert set(got["doc_id"]) == set(range(45))
+    assert {"quality", "lang_guess", "n_tokens"} <= set(got.columns)
+    want_scores = textstats.text_stats_batch(t).to_pandas().set_index("doc_id")
+    assert np.allclose(
+        got.set_index("doc_id")["quality"],
+        want_scores["quality"].reindex(got["doc_id"]),
+    )
+    # threshold + lang filter apply on top (this synthetic corpus is
+    # all lang 'und' with quality ≈ 0.37)
+    strict = pipelines.curate(ds, min_quality=0.3, langs=("und",)).to_pandas()
+    lg = textstats.lang_id_batch(t).to_pandas().set_index("doc_id")["lang_guess"]
+    assert len(strict) > 0
+    kept = set(strict["doc_id"])
+    for d in want_scores.index:
+        expect = (
+            round(want_scores["quality"][d], 6) >= 0.3
+            and lg[d] == "und"
+            and d != 45  # exact dup of doc 7
+        )
+        assert (d in kept) == expect
+    assert pipelines.curate(ds, min_quality=0.99, langs=("en",)).count() == 0

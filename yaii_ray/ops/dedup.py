@@ -66,19 +66,40 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
 
 
-def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
+def dedup_exact(ds, col: str = "text", id_col: str = "doc_id", nbuckets: int = 16):
     """Exact dedup: keep the smallest-id row per distinct content.
-    Returns the surviving rows' dataset (original columns)."""
-    import pandas as _pd
+    Returns the surviving rows' dataset (original columns).
 
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, col), batch_format="pyarrow"
+    Scale shape: the content hash is bucketed (``hash % nbuckets``) so
+    the ONE groupby shuffle runs ``nbuckets`` vectorized merges — not
+    one Python call per distinct text — and each block pre-dedups
+    locally before anything moves (map-side combine: the shuffle
+    carries at most one row per (block, distinct content))."""
+    def _first_per_hash(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Keep the min-id row per content_hash (vectorized: stable
+        id-order argsort + first occurrence per hash)."""
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hashes = np.asarray(t["content_hash"].to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        _, first = np.unique(hashes[order], return_index=True)
+        keep = np.sort(order[first])
+        return t.take(pa.array(keep, type=pa.int64())), hashes[keep]
+
+    def local_first(t: pa.Table) -> pa.Table:
+        t, hashes = _first_per_hash(content_hash_batch(t, col))
+        hb = (pd.util.hash_array(hashes) % np.uint64(nbuckets)).astype(np.int64)
+        return t.append_column("__hb", pa.array(hb))
+
+    def bucket_first(g: pa.Table) -> pa.Table:
+        g, _ = _first_per_hash(g)
+        return g.drop_columns(["content_hash", "__hb"])
+
+    return (
+        ds.map_batches(local_first, batch_format="pyarrow")
+        .repartition(max(1, nbuckets // 4))
+        .groupby("__hb")
+        .map_groups(bucket_first, batch_format="pyarrow")
     )
-
-    def first(g: _pd.DataFrame) -> _pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1).drop(columns=["content_hash"])
-
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
 
 
 # ---- shingling + deterministic hashing ------------------------------

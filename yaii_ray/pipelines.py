@@ -1,0 +1,64 @@
+"""Composed training-data pipelines over ``yaii_ray.ops`` building
+blocks — the end-to-end shapes a large-scale curation job runs, kept
+streaming from read to write.
+
+:func:`curate` is the canonical one: score -> filter -> exact-dedup,
+every stage a vectorized ``map_batches``/one-shuffle op, so the whole
+pipeline is Ray-Data lazy and spills through the object store instead
+of materializing anywhere. Write the result with
+``result.write_parquet(out_dir, partition_cols=["lang_guess"])`` for
+resumable partitioned output.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from yaii_ray.ops.dedup import dedup_exact
+from yaii_ray.ops.textstats import lang_id_batch, text_stats_batch
+
+
+def curate(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = 0.5,
+    langs: tuple[str, ...] | None = ("en",),
+    dedupe: bool = True,
+    dedup_buckets: int = 16,
+):
+    """Curation pipeline: text statistics + language ID per batch,
+    quality/language filter, exact content dedup (keep the min-id row
+    per distinct text). Returns the surviving rows as a streaming
+    Dataset carrying the original columns plus the score columns
+    (n_tokens, stopword_ratio, ..., quality, lang_guess).
+
+    The quality threshold compares the 6-decimal ROUNDED score (both
+    here and in the SQL oracle) so the float boundary cannot flip row
+    membership between engines."""
+
+    def score(b: pa.Table) -> pa.Table:
+        return lang_id_batch(text_stats_batch(b, col), col)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    if min_quality is not None or langs is not None:
+
+        def keep(b: pa.Table) -> pa.Table:
+            mask = pa.array([True] * b.num_rows, type=pa.bool_())
+            if min_quality is not None:
+                q = pc.round(b["quality"], ndigits=6)
+                mask = pc.and_(mask, pc.greater_equal(q, pa.scalar(float(min_quality))))
+            if langs is not None:
+                mask = pc.and_(
+                    mask,
+                    pc.is_in(b["lang_guess"], value_set=pa.array(sorted(langs))),
+                )
+            return b.filter(mask)
+
+        scored = scored.map_batches(keep, batch_format="pyarrow")
+
+    if dedupe:
+        scored = dedup_exact(scored, col=col, id_col=id_col, nbuckets=dedup_buckets)
+    return scored
