@@ -162,3 +162,66 @@ class TestTermRoundtrip:
     def test_number_prefix_rejected(self):
         with pytest.raises(NotImplementedError):
             T.term_to_token("1z")
+
+
+def test_porter_stemmer_paper_vectors():
+    """Porter (1980) — every step's examples from the paper, plus the
+    intro's full-pipeline examples."""
+    from yaii_ray.analysis.stemmer import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+        "connected": "connect", "connecting": "connect",
+        "connection": "connect", "connections": "connect",
+        "generalizations": "gener", "oscillators": "oscil",
+        # guards: short / non-alpha / non-ascii unchanged
+        "is": "is", "a1b2": "a1b2", "héllo": "héllo", "": "",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_stem_tokens_list_array():
+    import pyarrow as pa
+
+    from yaii_ray.analysis.stemmer import stem_tokens
+    from yaii_ray.analysis.tokenizer import get_analyzer
+
+    arr = pa.array(["connected connections", "", "hopping motoring"])
+    toks = get_analyzer("porter")(arr)
+    assert toks.to_pylist() == [["connect", "connect"], [""], ["hop", "motor"]]
+    # offsets untouched — same per-row token counts as the raw tokenizer
+    raw = get_analyzer("standard")(arr)
+    assert [len(x) for x in toks.to_pylist()] == [len(x) for x in raw.to_pylist()]
+    assert stem_tokens(raw).to_pylist() == toks.to_pylist()

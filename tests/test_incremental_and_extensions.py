@@ -201,3 +201,47 @@ def test_per_row_error_isolation(ray_session, tmp_path):
         assert st["N"] == 40 and st["dropped_rows"] == 2
     finally:
         idx.close()
+
+
+def test_porter_analyzer_end_to_end(ray_session, tmp_path):
+    """A5 (reference TODO, implemented here): field indexed with the
+    porter analyzer matches morphological variants — BM25 search
+    analyzes the query through the FIELD'S analyzer, and boolean
+    tokens match the stemmed term."""
+    import numpy as np
+    import pyarrow as pa
+
+    from yaii_ray.build import build_index_from_table
+    from yaii_ray.config import FieldConfig, IndexConfig, KIND_TEXT
+    from yaii_ray.engine import Index
+    from yaii_ray.query import dsl
+
+    texts = [
+        "connected circuits hum",            # 0
+        "new connections were made",         # 1
+        "a connection was refused",          # 2
+        "nothing relevant here at all",      # 3
+        "motoring along while hopping",      # 4
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    cfg = IndexConfig(
+        fields={
+            "text": FieldConfig(kind=KIND_TEXT, analyzer="porter", scored=True)
+        },
+        all_field=False,
+        num_shards=2,
+    )
+    out = str(tmp_path / "porter_idx")
+    build_index_from_table(t, out, cfg)
+    idx = Index(out)
+    try:
+        # boolean: the stemmed term matches every variant
+        got = np.sort(idx.resolve(dsl.token("connect", "text")))
+        assert got.tolist() == [0, 1, 2]
+        # BM25: the query word stems to the same term
+        hits = idx.search("connecting", field="text", k=5)
+        assert sorted(hits["doc_id"].to_pylist()) == [0, 1, 2]
+        hits2 = idx.search("motored hops", field="text", k=5)
+        assert 4 in hits2["doc_id"].to_pylist()
+    finally:
+        idx.close()

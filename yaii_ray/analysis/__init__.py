@@ -4,6 +4,8 @@ from yaii_ray.analysis.tokenizer import (
     tokenize_string,
     tokenize_strings,
 )
+from yaii_ray.analysis import stemmer as _stemmer  # registers "porter"/"porter_stop"
+from yaii_ray.analysis.stemmer import porter_stem, stem_tokens
 from yaii_ray.analysis.terms import (
     TERM_FALSE,
     TERM_TRUE,
@@ -15,6 +17,8 @@ from yaii_ray.analysis.terms import (
 
 __all__ = [
     "STOPWORDS",
+    "porter_stem",
+    "stem_tokens",
     "tokenize_string",
     "tokenize_strings",
     "get_analyzer",

@@ -24,7 +24,6 @@ import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
 
 from yaii_ray import scoring
-from yaii_ray.analysis.tokenizer import tokenize_string
 from yaii_ray.build import load_manifest
 from yaii_ray.config import IndexConfig
 from yaii_ray.query import dsl, ir
@@ -140,6 +139,19 @@ class Index:
 
     # ---- BM25 search ----------------------------------------------
 
+    def _analyze_query(self, field: str, query: str) -> list[str]:
+        """Query terms through the FIELD'S OWN analyzer (sorted,
+        deduped) — a query against a stemmed/custom-analyzed field must
+        follow the same token pipeline the index did, or its terms
+        never match. standard/standard_stop behave exactly as the
+        previous tokenize_string path."""
+        from yaii_ray.analysis.tokenizer import ensure_analyzers, get_analyzer
+
+        ensure_analyzers(self.config.analyzers)
+        fc = self.config.resolve(field)
+        toks = get_analyzer(fc.analyzer)(pa.array([query], type=pa.string()))
+        return sorted(set(toks[0].as_py()))
+
     def search(
         self,
         query: str,
@@ -153,9 +165,7 @@ class Index:
         shard pool, k-way merges. Returns (doc_id, score [, columns])."""
         import ray
 
-        fc = self.config.resolve(field)
-        stop = fc.analyzer == "standard_stop"
-        raw_terms = sorted(set(tokenize_string(query, stopwords=stop)))
+        raw_terms = self._analyze_query(field, query)
         terms = ["0" + t for t in raw_terms]
         dfs = self.df_lookup(field, terms)
         terms = [t for t in terms if dfs.get(t, 0) > 0]
@@ -203,8 +213,6 @@ class Index:
         query-by-document dedup) amortize it across the batch."""
         import ray
 
-        fc = self.config.resolve(field)
-        stop = fc.analyzer == "standard_stop"
         doc_count, avgdl = self.field_stats(field)
         filter_exp = plan(filter) if filter is not None else None
 
@@ -213,7 +221,7 @@ class Index:
         per_q: list[list[str]] = []
         all_terms: set[str] = set()
         for q in queries:
-            raw = sorted(set(tokenize_string(q, stopwords=stop)))
+            raw = self._analyze_query(field, q)
             per_q.append(["0" + t for t in raw])
             all_terms.update("0" + t for t in raw)
         dfs = self.df_lookup(field, sorted(all_terms))

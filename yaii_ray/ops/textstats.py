@@ -24,6 +24,9 @@ import pyarrow.compute as pc
 from yaii_ray.analysis.tokenizer import STOPWORDS, tokenize_strings
 
 _PUNCT = set(",.;:!?-—'\"()[]{}")
+# RE2 class matching _PUNCT one char at a time — the same class the
+# SQL twin uses (regexp_extract_all), so counts are bit-identical
+_PUNCT_RE = "[,.;:!?\\-—'\"()\\[\\]{}]"
 
 _FUNCTION_WORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "his", "they", "at"},
@@ -57,9 +60,13 @@ def text_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         len_sum[nonzero] = np.add.reduceat(flat_len, starts[nonzero])
     # empty-string tokens (JS-split artifacts) count as tokens, like
     # the reference tokenizer emits them
-    texts = pc.fill_null(arr, "").to_pylist()
-    nchars = np.array([len(t) for t in texts], dtype=np.int64)
-    npunct = np.array([sum(c in _PUNCT for c in t) for t in texts], dtype=np.int64)
+    filled = pc.fill_null(arr, "")
+    nchars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+    npunct = (
+        pc.count_substring_regex(filled, pattern=_PUNCT_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     safe = np.maximum(counts, 1)
     stop_ratio = stop_cnt / safe
     punct_ratio = npunct / np.maximum(nchars, 1)
