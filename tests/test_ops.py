@@ -721,3 +721,12 @@ def test_curate_pipeline_composition(docs_ds):
         )
         assert (d in kept) == expect
     assert pipelines.curate(ds, min_quality=0.99, langs=("en",)).count() == 0
+
+
+def test_verify_bucket_count_scales_with_candidates():
+    assert dedup._verify_bucket_count(10) == 16
+    assert dedup._verify_bucket_count(20_001) == 16
+    assert dedup._verify_bucket_count(1_000_000) == 16
+    assert dedup._verify_bucket_count(5_000_000) == 50
+    assert dedup._verify_bucket_count(100_000_000) == 1000
+    assert dedup._verify_bucket_count(10**9) == 4096

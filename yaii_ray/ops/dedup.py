@@ -383,17 +383,29 @@ def jaccard_verify_pairs_ray(
     return verified.to_pandas() if collect else verified
 
 
+def _verify_bucket_count(n_cands: int, floor: int = 16) -> int:
+    """Bucket count for the distributed verify, sized by MEASURED
+    candidate volume: ~100k pairs per bucket (each pair contributes
+    2×shingles joined rows, so a bucket stays a few tens of MB) —
+    a 10^8-candidate funnel gets ~1000 buckets, not 16."""
+    return max(floor, min(4096, -(-n_cands // 100_000)))
+
+
 def _verified_pairs(
     ds, cands_ds, col: str, id_col: str, ngram: int, tau: float,
-    nbuckets: int = 16, verify: str = "auto",
+    nbuckets: int | None = None, verify: str = "auto",
 ) -> pd.DataFrame:
     """Verify a candidate-pair Dataset. ``verify``: ``"auto"`` =
     driver fast path below ``VERIFY_DRIVER_MAX_PAIRS``, distributed
-    Ray verify above it; ``"driver"`` / ``"ray"`` force a path."""
+    Ray verify above it; ``"driver"`` / ``"ray"`` force a path.
+    ``nbuckets=None`` sizes the verify shuffle from the measured
+    candidate count."""
     cands_ds = cands_ds.materialize()
     n = cands_ds.count()
     if n == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    if nbuckets is None:
+        nbuckets = _verify_bucket_count(n)
     use_driver = (
         verify == "driver"
         or (verify == "auto" and n <= VERIFY_DRIVER_MAX_PAIRS)
