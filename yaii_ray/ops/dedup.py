@@ -74,7 +74,10 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id", nbuckets: int = 1
     the ONE groupby shuffle runs ``nbuckets`` vectorized merges — not
     one Python call per distinct text — and each block pre-dedups
     locally before anything moves (map-side combine: the shuffle
-    carries at most one row per (block, distinct content))."""
+    carries at most one row per (block, distinct content)).
+    ``nbuckets`` bounds each merge call's frame at roughly
+    distinct-rows/nbuckets — raise it with corpus size (10^9 distinct
+    texts want 256+; the default suits gate-scale corpora)."""
     def _first_per_hash(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
         """Keep the min-id row per content_hash (vectorized: stable
         id-order argsort + first occurrence per hash)."""
