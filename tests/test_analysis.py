@@ -225,3 +225,20 @@ def test_stem_tokens_list_array():
     raw = get_analyzer("standard")(arr)
     assert [len(x) for x in toks.to_pylist()] == [len(x) for x in raw.to_pylist()]
     assert stem_tokens(raw).to_pylist() == toks.to_pylist()
+
+
+def test_stem_tokens_null_safety():
+    """ADVICE r3: null flat tokens pass through unstemmed and the
+    list-level validity bitmap survives (custom registered analyzers
+    may emit null slots; built-in tokenizers never do)."""
+    import pyarrow as pa
+
+    from yaii_ray.analysis.stemmer import stem_tokens
+
+    arr = pa.array(
+        [["running", None, "happily"], None, ["cats"], []],
+        type=pa.list_(pa.string()),
+    )
+    out = stem_tokens(arr)
+    assert out.to_pylist() == [["run", None, "happili"], None, ["cat"], []]
+    assert out.null_count == 1

@@ -263,3 +263,33 @@ def test_reopen_recovers_uncommitted_stream_batches(ray_session, tmp_path):
     got = np.sort(re.matches("r")["doc_id"].to_numpy())
     assert np.array_equal(got, want)
     re.close()
+
+
+def test_recovery_orders_stream_batches_numerically(ray_session, tmp_path):
+    """ADVICE r3: recovery must order uncommitted stream batches by
+    the PARSED sequence number — past seq 99999 the 5-digit zero
+    padding overflows and 'batch-100000' sorts lexicographically
+    before 'batch-99999'."""
+    cfg = _config()
+    t = _table(60)
+    d = str(tmp_path / "cidx_seq")
+    ci = ContinuousIndex(cfg, index_dir=d)
+    ci._batch_seq = 99999
+    ci.add(t.slice(0, 30))   # spills batch-99999.parquet
+    ci.add(t.slice(30, 30))  # spills batch-100000.parquet
+    first_ids = ci._offsets[0]
+    assert ci._batch_seq == 100001
+    ci.close()  # crash: nothing committed
+
+    re = ContinuousIndex(cfg, index_dir=d)
+    # recovered in seq order: batch-99999 keeps the LOWER doc-id range
+    assert [f.split("/")[-1] for f in re._stream_files] == [
+        "batch-99999.parquet",
+        "batch-100000.parquet",
+    ]
+    assert re._offsets == [0, 30]
+    assert re._next_doc == 60
+    # row content of the first recovered segment is the first add()
+    got0 = re._tables[0]
+    assert got0["text"].to_pylist() == t.slice(0, 30)["text"].to_pylist()
+    re.close()

@@ -186,12 +186,20 @@ def stem_tokens(tokens: pa.ListArray) -> pa.ListArray:
     flat = tokens.values
     if len(flat) == 0:
         return tokens
-    uniq, inv = np.unique(
-        np.asarray(flat.to_pylist(), dtype=object), return_inverse=True
-    )
-    stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
-    new_flat = pa.array(stemmed[inv], type=pa.string())
-    return pa.ListArray.from_arrays(tokens.offsets, new_flat)
+    vals = np.asarray(flat.to_pylist(), dtype=object)
+    # null flat slots pass through unstemmed (custom registered
+    # analyzers may emit them; the built-in tokenizers never do) and
+    # the list-level validity bitmap is preserved
+    valid = np.array([v is not None for v in vals], dtype=bool)
+    out_vals = vals
+    if valid.any():
+        uniq, inv = np.unique(vals[valid], return_inverse=True)
+        stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
+        out_vals = vals.copy()
+        out_vals[valid] = stemmed[inv]
+    new_flat = pa.array(out_vals, type=pa.string())
+    mask = tokens.is_null() if tokens.null_count else None
+    return pa.ListArray.from_arrays(tokens.offsets, new_flat, mask=mask)
 
 
 def _register() -> None:

@@ -129,8 +129,13 @@ class ContinuousIndex:
         if index_dir:
             sdir = os.path.join(index_dir, "stream")
             os.makedirs(sdir, exist_ok=True)
+            # numeric sort, NOT lexicographic: names are zero-padded to
+            # 5 digits, so past seq 99999 "batch-100000" would sort
+            # before "batch-99999" and recovery would reassign doc-id
+            # ranges in the wrong order
             existing = sorted(
-                f for f in os.listdir(sdir) if f.endswith(".parquet")
+                (f for f in os.listdir(sdir) if f.endswith(".parquet")),
+                key=lambda f: int(f.split("-")[1].split(".")[0]),
             )
             if existing:
                 self._batch_seq = 1 + max(

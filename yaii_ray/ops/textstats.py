@@ -140,28 +140,25 @@ def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 # compatible (same pattern string runs under RE2's regexp_extract_all).
 BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
-_BPE_RE = None
-
 
 def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``n_bpe_tokens``: count of GPT-2-style pre-tokenizer
     matches — the cheap deterministic stand-in for a real BPE token
     count (no tokenizer model in this container; the split pattern is
-    the public GPT-2 regex shape)."""
-    global _BPE_RE
-    import re as _re
-
-    if _BPE_RE is None:
-        _BPE_RE = _re.compile(BPE_ISH_PATTERN)
+    the public GPT-2 regex shape). Fully vectorized: one
+    ``pc.count_substring_regex`` pass (RE2 leftmost-first matches the
+    Python-``re`` count on this alternation — pinned by
+    ``test_bpe_count_matches_python_re``), the same kernel the
+    punctuation counter above uses."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    counts = [
-        len(_BPE_RE.findall(t)) for t in pc.fill_null(arr, "").to_pylist()
-    ]
-    return batch.append_column(
-        "n_bpe_tokens", pa.array(np.array(counts, dtype=np.int64))
+    counts = (
+        pc.count_substring_regex(pc.fill_null(arr, ""), pattern=BPE_ISH_PATTERN)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
+    return batch.append_column("n_bpe_tokens", pa.array(counts))
 
 
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:

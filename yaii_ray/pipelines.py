@@ -36,7 +36,11 @@ def curate(
 
     The quality threshold compares the 6-decimal ROUNDED score (both
     here and in the SQL oracle) so the float boundary cannot flip row
-    membership between engines."""
+    membership between engines. Tie-mode caveat: ``pc.round`` rounds
+    half-to-even while DuckDB ``round`` rounds half-away-from-zero —
+    a score landing EXACTLY on a 5e-7 tie could differ; these quality
+    ratios are quotients of small integers and never land there, so
+    the convention is round-to-6 on both sides and ignore the mode."""
 
     def score(b: pa.Table) -> pa.Table:
         return lang_id_batch(text_stats_batch(b, col), col)
