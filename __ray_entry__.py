@@ -1051,6 +1051,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id""",
+        # Both Jaccard oracles prune the O(n^2) cross join through an
+        # exact shingle inverted index (unnest + equi-join): J >= tau
+        # > 0 requires at least one shared shingle, so the candidate
+        # set is lossless and list_intersect runs only on docs that
+        # share a shingle. Verified identical to the quadratic form at
+        # sf0.01 and ~11x faster at sf0.1 (152 s vs 1658 s), which is
+        # what makes the cluster entries sf0.1-checkable (VERDICT r3
+        # item 4).
         "near_dup_jaccard": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -1066,13 +1074,19 @@ def oracle_sql() -> dict[str, str]:
               -- the engine (str.split() drops empties); regexp_split
               -- of '' returns [''], so filter on non-empty tokens
               FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
+            ),
+            inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
             )
-            SELECT x.doc_id AS a, y.doc_id AS b,
-                   round(len(list_intersect(x.s, y.s))::DOUBLE
-                         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard_r
-            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-            WHERE len(list_intersect(x.s, y.s))::DOUBLE
-                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
+            SELECT c.a, c.b,
+                   round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard_r
+            FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                        JOIN sh sb ON sb.doc_id = c.b
+            WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
             ORDER BY a, b""",
         "near_dup_cluster": """
             WITH RECURSIVE toks AS (
@@ -1090,11 +1104,17 @@ def oracle_sql() -> dict[str, str]:
               -- of '' returns [''], so filter on non-empty tokens
               FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
             ),
+            inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+            ),
             pairs AS (
-              SELECT x.doc_id AS a, y.doc_id AS b
-              FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-              WHERE len(list_intersect(x.s, y.s))::DOUBLE
-                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
+              SELECT c.a, c.b
+              FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                          JOIN sh sb ON sb.doc_id = c.b
+              WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+                    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
             ),
             edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
             walk(id, lab) AS (

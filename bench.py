@@ -146,6 +146,177 @@ def run_scaling() -> None:
     )
 
 
+_ROUNDTRIP_CHILD = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from yaii_ray import tune_allocator
+tune_allocator()
+import ray
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import time
+from yaii_ray.build import build_index, compact_index, load_manifest
+from yaii_ray.config import transcripts_config
+from yaii_ray.corpus import build_vocab
+from yaii_ray.engine import Index
+
+cfg = transcripts_config(num_shards=min({ncpu}, 16))
+cfg.chunk_shift = 16
+metrics = {{}}
+t0 = time.monotonic()
+build_index({src!r}, {idx_dir!r}, cfg, target_unit_rows={unit_rows},
+            units_per_segment={ups}, metrics=metrics)
+build_sec = round(time.monotonic() - t0, 3)
+
+out = {{"build_sec": build_sec,
+        "segments": [{{k: s.get(k) for k in ("segment", "rows", "sec", "skipped")}}
+                     for s in metrics["segments"]]}}
+if {query!r}:
+    qdir = {idx_dir!r}
+    if {compact!r}:
+        import shutil
+        shutil.rmtree({idx_dir!r} + "_compacted", ignore_errors=True)
+        t0 = time.monotonic()
+        qdir = compact_index({idx_dir!r}, {idx_dir!r} + "_compacted")
+        out["compact_sec"] = round(time.monotonic() - t0, 3)
+        out["n_segments_compacted"] = len(load_manifest(qdir)["segments"])
+    out["n_segments"] = len(load_manifest({idx_dir!r})["segments"])
+    idx = Index(qdir)
+    idx.warmup()
+    vocab = build_vocab()
+    queries = []
+    for i in range(40):
+        a = vocab[(137 + i * 61) % 2000]
+        b_ = vocab[(411 + i * 97) % 6000]
+        c = vocab[(911 + i * 13) % 300]
+        queries.append(f"{{a}} {{b_}} {{c}}" if i % 2 else f"{{a}} {{b_}}")
+    res = idx.search_many(queries, field="text", k=10)
+    out["results"] = [
+        [(int(d), round(float(s), 6))
+         for d, s in zip(r["doc_id"].to_pylist(), r["score"].to_pylist())]
+        for r in res
+    ]
+    out["stats"] = load_manifest(qdir)["stats"]
+    idx.close()
+with open({out_path!r}, "w") as f:
+    json.dump(out, f)
+ray.shutdown()
+"""
+
+
+def run_roundtrip() -> None:
+    """Crash-resume + compaction roundtrip at bench scale (VERDICT r3
+    item 6, promoting tests/test_compaction.py to 20M turns):
+
+      1. clean multi-segment build (control) -> BM25 signature
+      2. same build in a fresh process, SIGKILLed mid-3rd-segment
+      3. resume in another fresh process (finished segments skipped)
+      4. compact the resumed index to ONE segment
+      5. the control, the crash-resumed, and the compacted index must
+         return byte-identical BM25 top-10 (ids + scores) for the
+         standard 40-query mix, and identical corpus stats.
+
+    Prints ONE JSON line with phase timings + `identical` verdicts.
+    """
+    import hashlib
+    import signal
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_ROUNDTRIP_TURNS", "20000000"))
+    from yaii_ray.corpus import transcripts_path
+
+    src = transcripts_path(n_turns, row_group_size=16_384)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    unit_rows = 65_536
+    n_units = (n_turns + unit_rows - 1) // unit_rows
+    ups = max(1, (n_units + 3) // 4)  # ~4 segments
+
+    def child(idx_dir: str, out_path: str, query: bool, compact: bool):
+        code = _ROUNDTRIP_CHILD.format(
+            repo=repo, ncpu=ncpu, src=src, idx_dir=idx_dir,
+            unit_rows=unit_rows, ups=ups, query=query, compact=compact,
+            out_path=out_path,
+        )
+        return subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+
+    clean_dir = f"/tmp/yaii_rt_clean_c{ncpu}_n{n_turns}"
+    crash_dir = f"/tmp/yaii_rt_crash_c{ncpu}_n{n_turns}"
+    for d in (clean_dir, crash_dir, crash_dir + "_compacted"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 1. control build + query signature
+    p = child(clean_dir, "/tmp/yaii_rt_clean.json", query=True, compact=False)
+    assert p.wait() == 0, "control build failed"
+    with open("/tmp/yaii_rt_clean.json") as f:
+        clean = json.load(f)
+
+    # 2. crash: SIGKILL the whole process group once the 3rd segment
+    # is underway (2 segment manifests committed + its docs appearing)
+    p = child(crash_dir, "/tmp/yaii_rt_na.json", query=False, compact=False)
+    t0 = time.monotonic()
+    killed_at = None
+    while p.poll() is None:
+        time.sleep(0.5)
+        done = [
+            f for f in os.listdir(crash_dir)
+            if f.startswith("seg-") and f.endswith(".manifest.json")
+        ] if os.path.isdir(crash_dir) else []
+        seg2_docs = os.path.join(crash_dir, "docs", "seg-002")
+        if len(done) >= 2 and os.path.isdir(seg2_docs) and os.listdir(seg2_docs):
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            killed_at = round(time.monotonic() - t0, 3)
+            break
+    p.wait()
+    assert killed_at is not None, (
+        "build finished before the kill trigger — corpus too small for "
+        "a mid-segment crash; raise BENCH_ROUNDTRIP_TURNS"
+    )
+
+    # 3+4. resume in a fresh process, then compact + query both
+    p = child(crash_dir, "/tmp/yaii_rt_resumed.json", query=True, compact=True)
+    assert p.wait() == 0, "resume/compact failed"
+    with open("/tmp/yaii_rt_resumed.json") as f:
+        resumed = json.load(f)
+
+    def sig(r: dict) -> str:
+        return hashlib.md5(
+            json.dumps([r["results"], r["stats"]], sort_keys=True).encode()
+        ).hexdigest()
+
+    skipped = [s["segment"] for s in resumed["segments"] if s.get("skipped")]
+    print(
+        json.dumps(
+            {
+                "metric": "20M crash-resume + compaction roundtrip",
+                "turns": n_turns,
+                "num_cpus": ncpu,
+                "clean_build_sec": clean["build_sec"],
+                "clean_turns_per_sec": round(n_turns / clean["build_sec"], 1),
+                "killed_after_sec": killed_at,
+                "segments_skipped_on_resume": skipped,
+                "resume_build_sec": resumed["build_sec"],
+                "compact_sec": resumed["compact_sec"],
+                "n_segments": resumed["n_segments"],
+                "n_segments_compacted": resumed["n_segments_compacted"],
+                # resumed child queries the COMPACTED index; signature
+                # equality vs the clean multi-segment control proves
+                # crash -> resume -> compact changed nothing
+                "signature_clean": sig(clean),
+                "signature_resumed_compacted": sig(resumed),
+                "identical": sig(clean) == sig(resumed),
+            }
+        )
+    )
+    assert sig(clean) == sig(resumed), "roundtrip changed query results"
+
+
 def main() -> None:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -270,5 +441,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--roundtrip" in sys.argv:
+        run_roundtrip()
     else:
         main()
