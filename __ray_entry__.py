@@ -127,6 +127,36 @@ def _q_bm25_filtered_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_query_ds(sf_dir: str) -> Any:
+    """Distributed BM25 over a DATASET of queries (query-by-document
+    shape): each map-batches actor opens the immutable index read-only
+    and scores its partition — per-query results identical to
+    Index.search, throughput scales with concurrency, nothing
+    query-shaped funnels through the driver or a fixed actor pool."""
+    import ray.data
+
+    from yaii_ray.ops.search import search_dataset
+
+    idx = _docs_index(sf_dir)  # ensure the cached index exists
+    qt = pa.table(
+        {
+            "qid": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "query": [
+                "merge batch window",
+                "sort filter",
+                "hash join table",
+                "stream data",
+            ],
+        }
+    )
+    out = search_dataset(
+        ray.data.from_arrow(qt), idx.index_dir, k=5, concurrency=2
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_r"] = out["score"].round(6)
+    return out[["qid", "rank", "doc_id", "score_r"]]
+
+
 def _q_bool_and(sf_dir: str) -> pa.Table:
     from yaii_ray.query import dsl
 
@@ -860,6 +890,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
     "bm25_filtered_top10": _q_bm25_filtered_top10,
+    "bm25_query_ds": _q_bm25_query_ds,
     "bool_and": _q_bool_and,
     "bool_or_not": _q_bool_or_not,
     "number_range": _q_number_range,
@@ -968,6 +999,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY df DESC, term LIMIT 50""",
         "bm25_top10": bm25,
         "bm25_filtered_top10": bm25_filtered,
+        # multi-query twin of `bm25`: qt carries (qid, term) pairs,
+        # scores/ranks partition by qid — same stats, same tie-break
+        "bm25_query_ds": f"""{tok_cte},
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+    qt AS (SELECT * FROM (VALUES
+             (0, 'merge'), (0, 'batch'), (0, 'window'),
+             (1, 'sort'), (1, 'filter'),
+             (2, 'hash'), (2, 'join'), (2, 'table'),
+             (3, 'stream'), (3, 'data')) q(qid, term)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+    dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scores AS (
+      SELECT qt.qid, tf.doc_id,
+             sum( ln(1 + (stats.n - dfv.df + 0.5)/(dfv.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+      FROM qt JOIN tf USING (term)
+      JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.qid, tf.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank,
+             round(score, 6) AS score_r
+      FROM scores
+    )
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 5""",
         "bool_and": f"""
             SELECT doc_id FROM documents
             WHERE list_contains({_TOKENIZE}, 'merge')

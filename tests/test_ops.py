@@ -907,3 +907,62 @@ def test_forced_ray_verify_single_candidate(ray_session):
         ray.data.from_arrow(docs), cands, tau=0.1, nbuckets=16, ngram=1
     )
     assert len(out) == 1 and out["a"].iloc[0] == 0 and out["b"].iloc[0] == 1
+
+
+def test_search_dataset_matches_index_search(ray_session, tmp_path):
+    """ops/search.py: the distributed query-Dataset scorer returns
+    per-query results bitwise identical to Index.search (same
+    analyzer, df lookup, WAND, tie-break); no-term queries vanish."""
+    import ray.data
+
+    from yaii_ray.build import build_index_from_table
+    from yaii_ray.config import FieldConfig, IndexConfig, KIND_TEXT
+    from yaii_ray.engine import Index
+    from yaii_ray.ops.search import search_dataset
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "merge", "sort", "hash"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in range(200)
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    cfg = IndexConfig(
+        fields={"text": FieldConfig(kind=KIND_TEXT, scored=True)},
+        all_field=False,
+        num_shards=2,
+    )
+    out = str(tmp_path / "sds_idx")
+    build_index_from_table(t, out, cfg)
+
+    queries = [
+        "alpha merge", "sort hash gamma", "delta",
+        "zzz_not_in_vocab",  # no surviving terms -> no output rows
+        "beta beta alpha",
+    ]
+    qt = pa.table(
+        {
+            "qid": pa.array(range(len(queries)), type=pa.int64()),
+            "query": queries,
+        }
+    )
+    got = (
+        search_dataset(
+            ray.data.from_arrow(qt), out, k=7, concurrency=2, batch_size=2
+        )
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+
+    idx = Index(out)
+    try:
+        for qid, q in enumerate(queries):
+            want = idx.search(q, field="text", k=7)
+            sub = got[got["qid"] == qid]
+            assert sub["doc_id"].tolist() == want["doc_id"].to_pylist()
+            assert sub["score"].tolist() == want["score"].to_pylist()
+            assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+        assert (got["qid"] == 3).sum() == 0
+    finally:
+        idx.close()
