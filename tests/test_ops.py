@@ -964,5 +964,23 @@ def test_search_dataset_matches_index_search(ray_session, tmp_path):
             assert sub["score"].tolist() == want["score"].to_pylist()
             assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
         assert (got["qid"] == 3).sum() == 0
+
+        # filtered variant: the WAND allowed-set mask matches too
+        from yaii_ray.query import dsl
+
+        flt = dsl.token("merge", "text")
+        gotf = (
+            search_dataset(
+                ray.data.from_arrow(qt), out, k=7, concurrency=2,
+                batch_size=2, filter=flt,
+            )
+            .to_pandas()
+            .sort_values(["qid", "rank"])
+        )
+        for qid, q in enumerate(queries):
+            want = idx.search(q, field="text", k=7, filter=flt)
+            sub = gotf[gotf["qid"] == qid]
+            assert sub["doc_id"].tolist() == want["doc_id"].to_pylist()
+            assert sub["score"].tolist() == want["score"].to_pylist()
     finally:
         idx.close()

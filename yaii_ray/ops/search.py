@@ -43,10 +43,11 @@ class BM25DatasetScorer:
         k: int = 10,
         query_col: str = "query",
         qid_col: str = "qid",
+        filter=None,
         payload_cache_bytes: int = 1 << 30,
         decoded_cache_bytes: int = 512 << 20,
     ):
-        from yaii_ray.engine import Index
+        from yaii_ray.engine import Index, plan
         from yaii_ray.shards import ShardState
 
         # Index here is used ONLY for its driver-free helpers
@@ -66,6 +67,10 @@ class BM25DatasetScorer:
         self.field, self.k = field, int(k)
         self.query_col, self.qid_col = query_col, qid_col
         self.doc_count, self.avgdl = self.idx.field_stats(field)
+        # dsl queries are frozen dataclasses (picklable constructor
+        # arg); planned ONCE per actor, applied as the WAND allowed-set
+        # mask — global stats stay corpus-wide, matching Index.search
+        self.filter_exp = plan(filter) if filter is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from yaii_ray import scoring
@@ -97,7 +102,7 @@ class BM25DatasetScorer:
             parts = [
                 st.search_bm25(
                     self.field, terms, idfs, self.k,
-                    cfg.k1, cfg.b, self.avgdl, None,
+                    cfg.k1, cfg.b, self.avgdl, self.filter_exp,
                 )
                 for st in self.states
             ]
@@ -135,6 +140,7 @@ def search_dataset(
     k: int = 10,
     query_col: str = "query",
     qid_col: str = "qid",
+    filter=None,
     concurrency: int | tuple[int, int] = 2,
     batch_size: int = 256,
 ):
@@ -146,7 +152,7 @@ def search_dataset(
         BM25DatasetScorer,
         fn_constructor_kwargs=dict(
             index_dir=index_dir, field=field, k=k,
-            query_col=query_col, qid_col=qid_col,
+            query_col=query_col, qid_col=qid_col, filter=filter,
         ),
         batch_size=batch_size,
         concurrency=concurrency,
