@@ -448,6 +448,28 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     )
 
 
+def _q_decontam_ngram(sf_dir: str) -> Any:
+    """Benchmark decontamination: docs sharing any word 3-gram with
+    the 'benchmark' slice (doc_id % 17 == 0) are contaminated. The
+    benchmark shingle set broadcasts once (ray.put); the training
+    stream filters via searchsorted membership — no shuffle."""
+    from yaii_ray.ops.decontam import decontaminate_ngrams
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 17) == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+
+        return _docs_ray_ds(sf_dir, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    out = decontaminate_ngrams(split(False), split(True), n=3, keep="contaminated")
+    t = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    return t
+
+
 def _q_near_dup_cluster(sf_dir: str) -> Any:
     """Near-dup clustering: exact word-3-gram Jaccard pairs (tau=0.4)
     -> connected components -> (doc_id, cluster=min reachable id).
@@ -912,6 +934,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_minhash": _q_near_dup_minhash,
     "near_dup_minhash_ray": _q_near_dup_minhash_ray,
     "simhash_pairs": _q_simhash_pairs,
+    "decontam_ngram": _q_decontam_ngram,
     "near_dup_cluster": _q_near_dup_cluster,
     "near_dup_cluster_ray": _q_near_dup_cluster_ray,
     "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1149,6 +1172,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
             ORDER BY a, b""",
+        "decontam_ngram": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              FOR i IN generate_series(1, len(t) - 2)])
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks WHERE len(list_filter(t, x -> x <> '')) > 0
+            ),
+            inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            bench AS (SELECT DISTINCT g FROM inv WHERE doc_id % 17 = 0)
+            SELECT DISTINCT i.doc_id FROM inv i JOIN bench b USING (g)
+            WHERE i.doc_id % 17 <> 0
+            ORDER BY doc_id""",
         "near_dup_cluster": """
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t

@@ -984,3 +984,44 @@ def test_search_dataset_matches_index_search(ray_session, tmp_path):
             assert sub["score"].tolist() == want["score"].to_pylist()
     finally:
         idx.close()
+
+
+def test_decontaminate_ngrams_partition(ray_session):
+    """ops/decontam.py: clean + contaminated partition the input; a
+    doc is contaminated iff it shares an n-gram with the benchmark;
+    short docs shingle to their whole text; empty docs are clean."""
+    import ray.data
+
+    from yaii_ray.ops.decontam import decontaminate_ngrams
+
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], type=pa.int64()),
+                "text": ["the quick brown fox jumps", "tiny doc"],
+            }
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), type=pa.int64()),
+                "text": [
+                    "a quick brown fox ran",      # shares "quick brown fox"
+                    "nothing in common here",      # clean
+                    "tiny doc",                    # short-doc whole-text match
+                    "tiny doc plus more words x",  # contains no full 3-gram of bench
+                    "",                            # empty -> clean
+                    "the quick brown dog",         # shares "the quick brown"
+                ],
+            }
+        )
+    ).repartition(3)
+
+    dirty = decontaminate_ngrams(
+        train, bench, n=3, keep="contaminated"
+    ).to_pandas()
+    clean = decontaminate_ngrams(train, bench, n=3, keep="clean").to_pandas()
+    assert sorted(dirty["doc_id"]) == [0, 2, 5]
+    assert sorted(clean["doc_id"]) == [1, 3, 4]
+    assert len(dirty) + len(clean) == 6
