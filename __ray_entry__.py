@@ -392,6 +392,49 @@ def _q_curate_docs(sf_dir: str) -> Any:
     ).reset_index(drop=True)
 
 
+def _q_curate_decontam(sf_dir: str) -> Any:
+    """The full curation composition INCLUDING the decontamination
+    stage: quality/lang filter -> drop docs sharing any 5-gram with
+    the benchmark slice (doc_id % 17 == 0) -> exact dedup. The oracle
+    replays all four stages in SQL. 5-grams (not the standalone
+    entry's 3-grams) keep the survivor set non-empty at sf0.1 — the
+    synthetic 31-word vocabulary makes 3-gram collisions near-certain
+    once the benchmark slice grows."""
+    import pandas as _pd
+
+    from yaii_ray.pipelines import curate
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 17) == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+
+        return _docs_ray_ds(sf_dir, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    out = curate(
+        split(False),
+        min_quality=0.5,
+        langs=("en", "fr"),
+        bench_ds=split(True),
+        decontam_n=5,
+    ).to_pandas()
+    if out.empty:  # fully-screened corpus: keep the contract schema
+        return _pd.DataFrame(
+            {
+                "doc_id": _pd.Series(dtype="int64"),
+                "lang_guess": _pd.Series(dtype=object),
+                "quality_r": _pd.Series(dtype="float64"),
+            }
+        )
+    out["quality_r"] = out["quality"].round(6)
+    return out[["doc_id", "lang_guess", "quality_r"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def _q_near_dup_jaccard(sf_dir: str) -> Any:
     """Exact word-3-gram Jaccard near-dup pairs (tau=0.4) via the
     inverted shingle index; SQL oracle recomputes all pairs."""
@@ -930,6 +973,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hopping_window": _q_hopping_window,
     "dedup_exact": _q_dedup_exact,
     "curate_docs": _q_curate_docs,
+    "curate_decontam": _q_curate_decontam,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
     "near_dup_minhash_ray": _q_near_dup_minhash_ray,
@@ -1295,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "lang_id": _lang_id_sql(),
         "curate_docs": _curate_sql(),
+        "curate_decontam": _curate_sql(decontam_mod=17, decontam_n=5),
         # registration happens after the first of 5 micro-batches =
         # after floor(n/5) docs; doc_id == row order for this table
         "continuous_future": """
@@ -1465,17 +1510,57 @@ def _minhash_sql(tau: float = 0.4, num_perm: int = 128, rows: int = 4, seed: int
         ORDER BY a, b"""
 
 
-def _curate_sql(min_quality: float = 0.5, langs: tuple = ("en", "fr")) -> str:
-    """SQL twin of pipelines.curate(min_quality, langs): the
-    text_stats quality formula + the lang_id argmax (both reused from
-    their standalone oracles), threshold on the 6-decimal ROUNDED
+def _curate_sql(
+    min_quality: float = 0.5,
+    langs: tuple = ("en", "fr"),
+    decontam_mod: int | None = None,
+    decontam_n: int = 3,
+) -> str:
+    """SQL twin of pipelines.curate(min_quality, langs[, bench_ds]):
+    the text_stats quality formula + the lang_id argmax (both reused
+    from their standalone oracles), threshold on the 6-decimal ROUNDED
     quality (same rule as the engine — float boundaries cannot flip
-    membership), then min-id per distinct text among the survivors."""
+    membership), optional decontamination against the
+    ``doc_id % decontam_mod == 0`` benchmark slice (the decontam_ngram
+    oracle's shingle join), then min-id per distinct text among the
+    survivors."""
     stop = _stoplist_sql()
     lang_sql = _lang_id_sql()
     in_langs = ", ".join(f"'{L}'" for L in langs)
+    base_where = (
+        f"WHERE doc_id % {decontam_mod} <> 0" if decontam_mod else ""
+    )
+    decontam_ctes, decontam_pred = "", ""
+    if decontam_mod:
+        k = decontam_n
+        gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace(
+            "t[i+0]", "t[i]"
+        )
+        decontam_ctes = f"""
+        dtoks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        dsh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_distinct([{gram}
+                                          FOR i IN generate_series(1, len(t) - {k - 1})])
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM dtoks WHERE len(list_filter(t, x -> x <> '')) > 0
+        ),
+        dinv AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+        dbench AS (SELECT DISTINCT g FROM dinv
+                   WHERE doc_id % {decontam_mod} = 0),
+        contaminated AS (
+          SELECT DISTINCT i.doc_id FROM dinv i JOIN dbench b USING (g)
+          WHERE i.doc_id % {decontam_mod} <> 0
+        ),"""
+        decontam_pred = (
+            "AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)"
+        )
     return f"""
-        WITH lang AS ({lang_sql}),
+        WITH {decontam_ctes} lang AS ({lang_sql}),
         qual AS (
           WITH toks AS (SELECT doc_id, text, {_TOKENIZE} AS t FROM documents),
           m AS (
@@ -1496,9 +1581,11 @@ def _curate_sql(min_quality: float = 0.5, langs: tuple = ("en", "fr")) -> str:
         ),
         filt AS (
           SELECT d.doc_id, d.text, lang.lang_guess, qual.quality
-          FROM documents d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+          FROM (SELECT * FROM documents {base_where}) d
+          JOIN lang USING (doc_id) JOIN qual USING (doc_id)
           WHERE round(qual.quality, 6) >= {min_quality}
             AND lang.lang_guess IN ({in_langs})
+            {decontam_pred}
         )
         SELECT f.doc_id, f.lang_guess, round(f.quality, 6) AS quality_r
         FROM filt f

@@ -1025,3 +1025,41 @@ def test_decontaminate_ngrams_partition(ray_session):
     assert sorted(dirty["doc_id"]) == [0, 2, 5]
     assert sorted(clean["doc_id"]) == [1, 3, 4]
     assert len(dirty) + len(clean) == 6
+
+
+def test_curate_with_decontam_stage(ray_session):
+    """pipelines.curate(bench_ds=...): the decontamination stage drops
+    benchmark-overlapping docs between the quality filter and dedup."""
+    import ray.data
+
+    from yaii_ray.pipelines import curate
+
+    mk = lambda ids, texts: ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    base = (
+        "the data model is small and the table scans are fast because "
+        "the planner prunes all of the columns it can"
+    )
+    train = mk(
+        [0, 1, 2],
+        [
+            base,                              # clean, high quality
+            base,                              # exact dup of 0
+            base + " zebra quagga yak",        # contains bench 3-gram
+        ],
+    )
+    bench = mk([99], ["zebra quagga yak with other filler words"])
+    out = (
+        curate(train, min_quality=0.0, langs=None, bench_ds=bench,
+               decontam_n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc 2 decontaminated; doc 1 deduped against doc 0
+    assert out["doc_id"].tolist() == [0]

@@ -25,14 +25,18 @@ def curate(
     id_col: str = "doc_id",
     min_quality: float | None = 0.5,
     langs: tuple[str, ...] | None = ("en",),
+    bench_ds=None,
+    decontam_n: int = 13,
     dedupe: bool = True,
     dedup_buckets: int = 16,
 ):
     """Curation pipeline: text statistics + language ID per batch,
-    quality/language filter, exact content dedup (keep the min-id row
-    per distinct text). Returns the surviving rows as a streaming
-    Dataset carrying the original columns plus the score columns
-    (n_tokens, stopword_ratio, ..., quality, lang_guess).
+    quality/language filter, optional benchmark decontamination
+    (``bench_ds`` — n-gram overlap screen, broadcast small side),
+    exact content dedup (keep the min-id row per distinct text).
+    Returns the surviving rows as a streaming Dataset carrying the
+    original columns plus the score columns (n_tokens,
+    stopword_ratio, ..., quality, lang_guess).
 
     The quality threshold compares the 6-decimal ROUNDED score (both
     here and in the SQL oracle) so the float boundary cannot flip row
@@ -62,6 +66,16 @@ def curate(
             return b.filter(mask)
 
         scored = scored.map_batches(keep, batch_format="pyarrow")
+
+    if bench_ds is not None:
+        # benchmark decontamination BETWEEN the cheap per-row filters
+        # and the dedup shuffle — the broadcast filter shrinks what the
+        # groupby has to move (yaii_ray.ops.decontam)
+        from yaii_ray.ops.decontam import decontaminate_ngrams
+
+        scored = decontaminate_ngrams(
+            scored, bench_ds, col=col, n=decontam_n, keep="clean"
+        )
 
     if dedupe:
         scored = dedup_exact(scored, col=col, id_col=id_col, nbuckets=dedup_buckets)
