@@ -946,24 +946,27 @@ def test_search_dataset_matches_index_search(ray_session, tmp_path):
             "query": queries,
         }
     )
-    got = (
-        search_dataset(
-            ray.data.from_arrow(qt), out, k=7, concurrency=2, batch_size=2
-        )
-        .to_pandas()
-        .sort_values(["qid", "rank"])
-        .reset_index(drop=True)
-    )
-
     idx = Index(out)
     try:
-        for qid, q in enumerate(queries):
-            want = idx.search(q, field="text", k=7)
-            sub = got[got["qid"] == qid]
-            assert sub["doc_id"].tolist() == want["doc_id"].to_pylist()
-            assert sub["score"].tolist() == want["score"].to_pylist()
-            assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
-        assert (got["qid"] == 3).sum() == 0
+        # both execution shapes: auto (shard-parallel pools + merge on
+        # this 2-shard index) and replicated single-pool
+        for sharded in (None, False):
+            got = (
+                search_dataset(
+                    ray.data.from_arrow(qt), out, k=7, concurrency=2,
+                    batch_size=2, sharded=sharded,
+                )
+                .to_pandas()
+                .sort_values(["qid", "rank"])
+                .reset_index(drop=True)
+            )
+            for qid, q in enumerate(queries):
+                want = idx.search(q, field="text", k=7)
+                sub = got[got["qid"] == qid]
+                assert sub["doc_id"].tolist() == want["doc_id"].to_pylist()
+                assert sub["score"].tolist() == want["score"].to_pylist()
+                assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+            assert (got["qid"] == 3).sum() == 0
 
         # filtered variant: the WAND allowed-set mask matches too
         from yaii_ray.query import dsl

@@ -14,11 +14,24 @@ its partition of queries locally. Throughput scales with
 touches the driver, and on a multi-node cluster every worker reads the
 index from shared storage.
 
-Trade-off, documented: each scorer actor holds ALL shards' term
-dictionaries (payloads stream through the LRU). The resident floor per
-actor is the dictionary size; for a dictionary too large for that,
-shrink ``payload_cache_bytes`` / partition the index into fewer, wider
-shards — the posting working set stays LRU-bounded either way.
+Two execution shapes, picked by ``sharded``:
+
+- **shard-parallel (default for multi-shard indexes)**: one actor pool
+  PER SHARD, each actor holding only its shard's term dictionary and a
+  focused posting LRU; the query Dataset streams through every pool,
+  per-shard top-k partials union, and a bucketed vectorized merge
+  applies the global (score desc, doc asc) top-k per query. Posting
+  decode for a shard happens in ``concurrency`` actors instead of
+  every actor, and per-actor resident memory is 1/num_shards of the
+  dictionary. Measured (10M-turn/16-shard index, 2000 queries, 32
+  CPUs): sharded 31.5 s including actor cold-start vs replicated
+  296.7 s at the same CPU budget (9.4x — 32 replicated actors each
+  resident-loading all 16 dictionaries thrash the page cache) and vs
+  20.9 s for a pre-warmed resident ``search_many`` pool.
+- **replicated (``sharded=False``)**: each actor opens ALL shards and
+  emits final top-k rows directly — no merge shuffle; right for
+  single-shard or tiny indexes, or when the query set is small enough
+  that spawning one pool per shard costs more than it saves.
 
 Per-query results are bitwise identical to ``Index.search`` (same
 analyzer, df lookup, block-max WAND, (score desc, doc asc) tie-break)
@@ -46,6 +59,8 @@ class BM25DatasetScorer:
         filter=None,
         payload_cache_bytes: int = 1 << 30,
         decoded_cache_bytes: int = 512 << 20,
+        shards: list[int] | None = None,
+        emit: str = "topk",
     ):
         from yaii_ray.engine import Index, plan
         from yaii_ray.shards import ShardState
@@ -56,14 +71,19 @@ class BM25DatasetScorer:
         self.idx = Index(index_dir)
         m = self.idx.manifest
         nsh = m["num_shards"]
+        mine = list(range(nsh)) if shards is None else list(shards)
         self.states = [
             ShardState(
                 m, s,
-                max(64 << 20, payload_cache_bytes // nsh),
-                max(32 << 20, decoded_cache_bytes // nsh),
+                max(64 << 20, payload_cache_bytes // len(mine)),
+                max(32 << 20, decoded_cache_bytes // len(mine)),
             )
-            for s in range(nsh)
+            for s in mine
         ]
+        self.emit = emit  # "topk": final ranked rows; "partial":
+        #   per-shard candidates (qid, doc_id, score) for a downstream
+        #   global merge — global df/idf stats are corpus-wide either
+        #   way, so partial scores are final scores
         self.field, self.k = field, int(k)
         self.query_col, self.qid_col = query_col, qid_col
         self.doc_count, self.avgdl = self.idx.field_stats(field)
@@ -108,13 +128,46 @@ class BM25DatasetScorer:
             ]
             docs = np.concatenate([p[0] for p in parts])
             scores = np.concatenate([p[1] for p in parts])
-            docs, scores = scoring.topk(docs, scores, self.k)
+            if self.emit == "topk":
+                docs, scores = scoring.topk(docs, scores, self.k)
+                out_rank.append(np.arange(1, docs.size + 1, dtype=np.int64))
             out_qid.append(np.full(docs.size, qid))
-            out_rank.append(np.arange(1, docs.size + 1, dtype=np.int64))
             out_doc.append(docs)
             out_score.append(scores)
 
+        ranked = self.emit == "topk"
         if not out_qid:
+            cols = {
+                "qid": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.uint64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+            if not ranked:
+                del cols["rank"]
+            return pa.table(cols)
+        cols = {
+            "qid": pa.array(np.concatenate(out_qid).astype(np.int64)),
+            "rank": pa.array(np.concatenate(out_rank)) if ranked else None,
+            "doc_id": pa.array(np.concatenate(out_doc), type=pa.uint64()),
+            "score": pa.array(np.concatenate(out_score), type=pa.float64()),
+        }
+        if not ranked:
+            del cols["rank"]
+        return pa.table(cols)
+
+
+def _merge_topk(k: int):
+    """Bucketed global merge for shard-parallel partials: within one
+    qid-hash bucket, ONE vectorized lexsort ranks every query's
+    candidates by (score desc, doc asc) — the engine-wide tie-break,
+    identical to ``scoring.topk`` — and keeps the first k per qid."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        qids = g["qid"].to_numpy(zero_copy_only=False)
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        if qids.size == 0:
             return pa.table(
                 {
                     "qid": pa.array([], type=pa.int64()),
@@ -123,14 +176,22 @@ class BM25DatasetScorer:
                     "score": pa.array([], type=pa.float64()),
                 }
             )
+        order = np.lexsort((docs, -scores, qids))
+        qids, docs, scores = qids[order], docs[order], scores[order]
+        starts = np.flatnonzero(np.r_[True, qids[1:] != qids[:-1]])
+        lens = np.diff(np.append(starts, qids.size))
+        ranks = np.arange(qids.size, dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = ranks <= k
         return pa.table(
             {
-                "qid": pa.array(np.concatenate(out_qid).astype(np.int64)),
-                "rank": pa.array(np.concatenate(out_rank)),
-                "doc_id": pa.array(np.concatenate(out_doc), type=pa.uint64()),
-                "score": pa.array(np.concatenate(out_score), type=pa.float64()),
+                "qid": pa.array(qids[keep].astype(np.int64)),
+                "rank": pa.array(ranks[keep]),
+                "doc_id": pa.array(docs[keep], type=pa.uint64()),
+                "score": pa.array(scores[keep], type=pa.float64()),
             }
         )
+
+    return merge
 
 
 def search_dataset(
@@ -143,18 +204,67 @@ def search_dataset(
     filter=None,
     concurrency: int | tuple[int, int] = 2,
     batch_size: int = 256,
+    sharded: bool | None = None,
+    merge_buckets: int = 64,
+    merge_partitions: int = 2,
 ):
     """Score every row of ``queries_ds`` (``qid_col``, ``query_col``)
     against the index at ``index_dir``; returns a Dataset of
     (qid, rank, doc_id, score) with at most k rows per query. Lazy —
-    chain ``write_parquet`` / further stages without materializing."""
-    return queries_ds.map_batches(
-        BM25DatasetScorer,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir, field=field, k=k,
-            query_col=query_col, qid_col=qid_col, filter=filter,
-        ),
-        batch_size=batch_size,
-        concurrency=concurrency,
-        batch_format="pyarrow",
+    chain ``write_parquet`` / further stages without materializing.
+
+    ``sharded=None`` auto-picks: shard-parallel pools for multi-shard
+    indexes (module docstring), replicated single-pool otherwise.
+    ``concurrency`` is PER SHARD POOL in sharded mode. ``merge_buckets``
+    bounds each merge call's frame at ~nq*k*num_shards/merge_buckets
+    rows — raise with corpus-sized query sets; ``merge_partitions``
+    sizes the ONE merge shuffle (Arrow-format map_groups keeps empty
+    reduce partitions schema-full, so small counts are safe)."""
+    from yaii_ray.build import load_manifest
+
+    nsh = load_manifest(index_dir)["num_shards"]
+    if sharded is None:
+        sharded = nsh > 1
+    common = dict(
+        index_dir=index_dir, field=field, k=k,
+        query_col=query_col, qid_col=qid_col, filter=filter,
+    )
+    if not sharded:
+        return queries_ds.map_batches(
+            BM25DatasetScorer,
+            fn_constructor_kwargs=common,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+        )
+
+    import pandas as pd
+
+    partials = [
+        queries_ds.map_batches(
+            BM25DatasetScorer,
+            fn_constructor_kwargs=dict(common, shards=[s], emit="partial"),
+            batch_size=batch_size,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+        )
+        for s in range(nsh)
+    ]
+    merged = partials[0].union(*partials[1:])
+
+    def add_qb(t: pa.Table) -> pa.Table:
+        qb = (
+            pd.util.hash_array(t["qid"].to_numpy(zero_copy_only=False))
+            % np.uint64(merge_buckets)
+        ).astype(np.int64)
+        return t.append_column("__qb", pa.array(qb))
+
+    def merge_drop(g: pa.Table) -> pa.Table:
+        return _merge_topk(k)(g.drop_columns(["__qb"]))
+
+    return (
+        merged.map_batches(add_qb, batch_format="pyarrow")
+        .repartition(max(1, merge_partitions))
+        .groupby("__qb")
+        .map_groups(merge_drop, batch_format="pyarrow")
     )
