@@ -28,6 +28,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _INDEX_CACHE: dict[str, Any] = {}
 
@@ -780,6 +781,85 @@ def _q_lang_id(sf_dir: str) -> Any:
     return out[["doc_id", "lang_guess"]]
 
 
+def _q_repetition_stats(sf_dir: str) -> Any:
+    """Gopher-style repetition signals (dup-word fraction, top-bigram
+    fraction) — the standard boilerplate/word-soup quality filter
+    inputs for a pretraining corpus."""
+    from yaii_ray.ops import textstats
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: textstats.repetition_stats_batch(b),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out["dup_word_frac_r"] = out["dup_word_frac"].round(6)
+    out["top_bigram_frac_r"] = out["top_bigram_frac"].round(6)
+    return out[["doc_id", "dup_word_frac_r", "top_bigram_frac_r"]]
+
+
+def _q_pii_redact(sf_dir: str) -> Any:
+    """PII scrubbing: the synthetic corpus carries no natural PII, so
+    the entry deterministically AUGMENTS each doc with an email /
+    phone / IPv4 derived from its doc_id (the oracle builds the same
+    string in SQL), then both sides redact — proving the RE2 pattern
+    semantics match, not just a no-op."""
+    from yaii_ray.ops import curation
+
+    def aug_redact(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string())
+        mod = pc.cast(pc.bit_wise_and(b["doc_id"], 255), pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"], " contact u", ids,
+            "@ex.com call 555-867-5309 from 10.", mod, ".0.7", "",
+        )
+        t = pa.table({"doc_id": b["doc_id"], "text": aug})
+        return curation.redact_pii_batch(t).rename_columns(
+            ["doc_id", "redacted"]
+        )
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(aug_redact, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "redacted"]]
+
+
+# per-source sampling rates for sample_stratified — shared by the
+# entry and its oracle (thresholds derive from curation._hex_threshold
+# on BOTH sides so the keep rule is identical by construction)
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_SAMPLE_RATES.update({f"src{i}": 0.05 for i in range(4, 20)})
+
+
+def _q_sample_stratified(sf_dir: str) -> Any:
+    """Deterministic md5-threshold sampling with per-source rates
+    (data mixing): keep/drop is a pure function of doc_id, so any
+    worker / retry / cluster size selects the same rows."""
+    from yaii_ray.ops import curation
+
+    out = curation.sample_hash(
+        _docs_ray_ds(sf_dir, ["doc_id", "source"]), rates=_SAMPLE_RATES
+    ).to_pandas()
+    return out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_pack_sequences(sf_dir: str) -> Any:
+    """Greedy first-fit packing of docs into 1500-char training
+    sequences within 100-doc id ranges — the explicit sequential
+    domain makes packing embarrassingly parallel across ranges."""
+    from yaii_ray.ops import curation
+
+    out = curation.pack_sequences(
+        _docs_ray_ds(sf_dir, ["doc_id", "n_chars"]),
+        budget=1500, range_size=100,
+    ).to_pandas()
+    return out[["doc_id", "dom", "seq"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_join_orders_customer(sf_dir: str) -> Any:
     """Broadcast join (dimension table shipped once via ray.put) +
     grouped aggregate."""
@@ -991,6 +1071,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_token_count": _q_bpe_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "lang_id": _q_lang_id,
+    "repetition_stats": _q_repetition_stats,
+    "pii_redact": _q_pii_redact,
+    "sample_stratified": _q_sample_stratified,
+    "pack_sequences": _q_pack_sequences,
     "continuous_future": _q_continuous_future,
     "continuous_caf_limit": _q_continuous_caf_limit,
     "embed_pairs_ivf": _q_embed_pairs_ivf,
@@ -1338,6 +1422,82 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp_md5
             FROM documents""",
         "lang_id": _lang_id_sql(),
+        # tokens = lowercased \s+ splits with empties dropped (the
+        # regexp_split_to_array('') -> [''] gotcha); distinctness over
+        # true strings here vs 64-bit hashes engine-side — the same
+        # no-collision assumption the MinHash/Jaccard oracles carry
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            words AS (
+              SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd
+              FROM toks
+            ),
+            big AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks)
+            ),
+            bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+            btop AS (
+              SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM bcnt GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   round(CASE WHEN n > 0
+                              THEN (n - nd)::DOUBLE / n ELSE 0 END, 6)
+                     AS dup_word_frac_r,
+                   round(coalesce(topc::DOUBLE / nb, 0), 6)
+                     AS top_bigram_frac_r
+            FROM words w LEFT JOIN btop USING (doc_id)""",
+        # same augmentation string and RE2 patterns as _q_pii_redact
+        # (curation.PII_PATTERNS), same replacement order
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id ||
+                     '@ex.com call 555-867-5309 from 10.' ||
+                     (doc_id % 256) || '.0.7' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+              AS redacted
+            FROM aug""",
+        "sample_stratified": _sample_stratified_sql(),
+        # greedy first-fit packing, sequential within each 100-id
+        # range, advanced range-parallel by the recursion (row rn of
+        # every range per step); the p.running > 0 guard matches the
+        # engine's "never break before the first doc of a sequence"
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id // 100 AS dom, n_chars AS n,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            packed AS (
+              SELECT dom, rn, doc_id, n, 0::BIGINT AS seq, n AS running
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.dom, d.rn, d.doc_id, d.n,
+                     CASE WHEN p.running > 0 AND p.running + d.n > 1500
+                          THEN p.seq + 1 ELSE p.seq END,
+                     CASE WHEN p.running > 0 AND p.running + d.n > 1500
+                          THEN d.n ELSE p.running + d.n END
+              FROM packed p JOIN d ON d.dom = p.dom AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, dom, seq FROM packed""",
         "curate_docs": _curate_sql(),
         "curate_decontam": _curate_sql(decontam_mod=17, decontam_n=5),
         # registration happens after the first of 5 micro-batches =
@@ -1591,6 +1751,23 @@ def _curate_sql(
         FROM filt f
         JOIN (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text) k
           USING (doc_id)
+        ORDER BY doc_id"""
+
+
+def _sample_stratified_sql() -> str:
+    """SQL twin of _q_sample_stratified: the per-source keep threshold
+    is curation._hex_threshold(rate) on BOTH sides (fixed-width
+    lowercase hex compares lexicographically == numerically)."""
+    from yaii_ray.ops.curation import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{src}' THEN '{_hex_threshold(rate)}'"
+        for src, rate in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source {cases} ELSE '0' END
         ORDER BY doc_id"""
 
 

@@ -1066,3 +1066,128 @@ def test_curate_with_decontam_stage(ray_session):
     )
     # doc 2 decontaminated; doc 1 deduped against doc 0
     assert out["doc_id"].tolist() == [0]
+
+
+def test_redact_pii_patterns():
+    """ops/curation.py: email/phone/IPv4 scrubbed in order; nulls ->
+    empty; non-PII digit runs untouched (kernel-only, no Ray)."""
+    from yaii_ray.ops.curation import redact_pii_batch
+
+    t = pa.table(
+        {
+            "text": [
+                "mail bob.smith+x@ex-ample.co.uk now",
+                "call 555-123-4567 or 10.0.0.1 today",
+                None,
+                "plain text 1.2 no pii 1234.5678",
+                "a@b.io c@d.org twice",
+            ]
+        }
+    )
+    got = redact_pii_batch(t)["text"].to_pylist()
+    assert got == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <IP> today",
+        "",
+        "plain text 1.2 no pii 1234.5678",
+        "<EMAIL> <EMAIL> twice",
+    ]
+
+
+def test_repetition_stats_handcrafted():
+    """ops/textstats.py: dup-word and top-bigram fractions on docs
+    with known values; empty/whitespace/single-token docs are 0/0."""
+    from yaii_ray.ops.textstats import repetition_stats_batch
+
+    t = pa.table({"text": ["a a a b", "x y x y x z", "", "  ", "solo", "a b a b"]})
+    out = repetition_stats_batch(t)
+    assert out["dup_word_frac"].to_pylist() == [
+        0.5, 0.5, 0.0, 0.0, 0.0, 0.5,
+    ]
+    got_bg = out["top_bigram_frac"].to_pylist()
+    want_bg = [2 / 3, 2 / 5, 0.0, 0.0, 0.0, 2 / 3]
+    assert all(abs(g - w) < 1e-12 for g, w in zip(got_bg, want_bg))
+
+
+def test_sample_hash_deterministic(ray_session):
+    """ops/curation.py: keep set == direct md5 recompute, stable
+    across runs, stratified rates route per source, missing strata
+    drop; Dataset wrapper matches the kernel."""
+    import hashlib
+
+    import ray.data
+
+    from yaii_ray.ops.curation import (
+        _hex_threshold, sample_hash, sample_hash_batch,
+    )
+
+    n = 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array(["s%d" % (i % 3) for i in range(n)]),
+        }
+    )
+    rates = {"s0": 1.0, "s1": 0.3}  # s2 missing -> dropped
+    want = [
+        i
+        for i in range(n)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8]
+        < _hex_threshold(rates.get("s%d" % (i % 3), 0.0))
+        and "s%d" % (i % 3) in rates
+    ]
+    got = sample_hash_batch(t, rates=rates)["doc_id"].to_pylist()
+    assert got == want
+    assert all(i % 3 == 0 for i in got if i % 3 == 0)  # s0 kept fully
+    assert [i for i in got if i % 3 == 0] == [i for i in range(n) if i % 3 == 0]
+    assert not any(i % 3 == 2 for i in got)
+    ds_got = (
+        sample_hash(ray.data.from_arrow(t), rates=rates)
+        .to_pandas()["doc_id"].sort_values().tolist()
+    )
+    assert ds_got == want
+    # seed changes the sample
+    assert sample_hash_batch(t, rate=0.5, seed="v2")["doc_id"].to_pylist() != \
+        sample_hash_batch(t, rate=0.5)["doc_id"].to_pylist()
+
+
+def test_pack_sequences_matches_reference_loop(ray_session):
+    """ops/curation.py: grouped greedy packing == a driver reference
+    loop per domain; oversize docs sit alone; ids may arrive
+    unsorted."""
+    import ray.data
+
+    from yaii_ray.ops.curation import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(300).astype(np.int64)
+    sizes = rng.integers(10, 900, size=300).astype(np.int64)
+    sizes[17] = 5000  # oversize: alone in its sequence
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(sizes)})
+    budget, rs = 1000, 64
+
+    got = (
+        pack_sequences(ray.data.from_arrow(t), budget=budget, range_size=rs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    by_id = dict(zip(ids.tolist(), sizes.tolist()))
+    want = {}
+    for dom in sorted({i // rs for i in range(300)}):
+        running, s = 0, 0
+        for i in sorted(d for d in range(300) if d // rs == dom):
+            nch = by_id[i]
+            if running > 0 and running + nch > budget:
+                s += 1
+                running = 0
+            want[i] = (dom, s)
+            running += nch
+    assert len(got) == 300
+    for _, row in got.iterrows():
+        assert (row["dom"], row["seq"]) == want[row["doc_id"]]
+    # the oversize doc (position 17 of the PERMUTED id array) is
+    # alone in its (dom, seq)
+    odom, oseq = want[int(ids[17])]
+    assert sum(1 for v in want.values() if v == (odom, oseq)) == 1

@@ -161,6 +161,101 @@ def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_bpe_tokens", pa.array(counts))
 
 
+def repetition_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append Gopher-style repetition signals (public heuristic from
+    Rae et al. 2021 "Scaling Language Models" §A1.1 repetition
+    filters, re-derived — no reference-repo analogue):
+
+    - ``dup_word_frac``: 1 - distinct_tokens/total_tokens (0 for empty
+      docs) — high for word-soup repetition.
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigrams (0 for docs with < 2 tokens) — high for
+      boilerplate/templating.
+
+    Tokens are lowercased ``\\s+`` splits with empties dropped (the
+    SQL twin's ``list_filter(t, x -> x <> '')``). Fully vectorized:
+    one Arrow split + lowercase for the batch, distinct-per-doc via
+    one lexsort + boundary reduceat, bigrams via two slices of the
+    flat token array joined element-wise — no per-row Python.
+    Distinctness is computed over 64-bit token/bigram hashes (pandas
+    ``hash_array``, fixed key) — the same no-collision-at-corpus-scale
+    assumption the MinHash/Jaccard oracles already rely on."""
+    import pandas as pd
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(arr, "")), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    raw_counts = np.diff(offsets - base)
+    ndocs = len(raw_counts)
+    flat = toks.values
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    counts = np.zeros(ndocs, dtype=np.int64)
+    nz = raw_counts > 0
+    if keep.size:
+        counts[nz] = np.add.reduceat(
+            keep.astype(np.int64), (offsets - base)[:-1][nz]
+        )
+    flat = flat.filter(pa.array(keep))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+
+    dup_frac = np.zeros(ndocs, dtype=np.float64)
+    top_bg_frac = np.zeros(ndocs, dtype=np.float64)
+    if len(flat):
+        h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        new_run = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]
+        doc_starts = np.r_[0, np.cumsum(counts)][:-1]
+        distinct = np.zeros(ndocs, dtype=np.int64)
+        distinct[counts > 0] = np.add.reduceat(
+            new_run.astype(np.int64), doc_starts[counts > 0]
+        )
+        np.divide(
+            counts - distinct, counts, out=dup_frac, where=counts > 0
+        )
+
+        # bigrams: adjacent filtered tokens within the same doc
+        if len(flat) > 1:
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), " "
+            )
+            same_doc = doc_idx[:-1] == doc_idx[1:]
+            bdoc = doc_idx[:-1][same_doc]
+            if bdoc.size:
+                bh = pd.util.hash_array(
+                    np.asarray(
+                        joined.filter(pa.array(same_doc)).to_pylist(),
+                        dtype=object,
+                    )
+                )
+                nb = np.maximum(counts - 1, 0)
+                order = np.lexsort((bh, bdoc))
+                bhs, bds = bh[order], bdoc[order]
+                run_start = np.r_[
+                    True, (bds[1:] != bds[:-1]) | (bhs[1:] != bhs[:-1])
+                ]
+                starts_idx = np.flatnonzero(run_start)
+                run_len = np.diff(np.append(starts_idx, bds.size))
+                run_doc = bds[starts_idx]
+                doc_first_run = np.r_[True, run_doc[1:] != run_doc[:-1]]
+                top_per_doc = np.maximum.reduceat(
+                    run_len, np.flatnonzero(doc_first_run)
+                )
+                docs_with_bg = run_doc[doc_first_run]
+                top_bg_frac[docs_with_bg] = top_per_doc / nb[docs_with_bg]
+
+    return batch.append_column(
+        "dup_word_frac", pa.array(dup_frac)
+    ).append_column("top_bigram_frac", pa.array(top_bg_frac))
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fp_md5`` (md5 hex of lowercased whitespace-normalized
     token join — SQL: ``md5(array_to_string(tokens, ' '))``) and
