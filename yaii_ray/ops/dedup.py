@@ -66,7 +66,13 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
 
 
-def dedup_exact(ds, col: str = "text", id_col: str = "doc_id", nbuckets: int = 16):
+def dedup_exact(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    nbuckets: int = 16,
+    final_partitions: int | None = None,
+):
     """Exact dedup: keep the smallest-id row per distinct content.
     Returns the surviving rows' dataset (original columns).
 
@@ -77,7 +83,14 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id", nbuckets: int = 1
     carries at most one row per (block, distinct content)).
     ``nbuckets`` bounds each merge call's frame at roughly
     distinct-rows/nbuckets — raise it with corpus size (10^9 distinct
-    texts want 256+; the default suits gate-scale corpora)."""
+    texts want 256+; the default suits gate-scale corpora).
+    ``final_partitions`` sizes the ONE shuffle's reduce side; the
+    default ``max(1, nbuckets // 16)`` keeps block count <= populated
+    buckets even for degenerate corpora with fewer distinct texts
+    than buckets (block count > populated groups emits schema-less
+    empty RefBundles — the known Ray hazard): default nbuckets gets
+    one reduce partition, scale callers who raised nbuckets get a
+    proportionally parallel final stage."""
     def _first_per_hash(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
         """Keep the min-id row per content_hash (vectorized: stable
         id-order argsort + first occurrence per hash)."""
@@ -97,9 +110,13 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id", nbuckets: int = 1
         g, _ = _first_per_hash(g)
         return g.drop_columns(["content_hash", "__hb"])
 
+    nparts = (
+        final_partitions if final_partitions is not None
+        else max(1, nbuckets // 16)
+    )
     return (
         ds.map_batches(local_first, batch_format="pyarrow")
-        .repartition(max(1, nbuckets // 4))
+        .repartition(max(1, nparts))
         .groupby("__hb")
         .map_groups(bucket_first, batch_format="pyarrow")
     )
@@ -276,6 +293,7 @@ def jaccard_verify_pairs_ray(
     tau: float = 0.5,
     nbuckets: int = 16,
     collect: bool = True,
+    n_cands: int | None = None,
 ) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs AS A RAY STAGE —
     the scale path for funnels where the candidate set (10^6-10^8 pairs
@@ -300,7 +318,17 @@ def jaccard_verify_pairs_ray(
     """
     from yaii_ray.ops.joins import partitioned_hash_join
 
+    # shuffle sizing: block counts must not exceed populated key
+    # counts or the empty reduce partitions emit schema-less
+    # RefBundles (the known Ray failure). When the caller measured the
+    # candidate volume (``n_cands``, as _verified_pairs does), clamp:
+    # populated pair-buckets <= n_cands and distinct join docs <=
+    # 2 * n_cands, so tiny forced-ray sets collapse to one partition.
     coalesced = max(2, nbuckets // 4)
+    join_buckets = nbuckets
+    if n_cands is not None:
+        coalesced = max(1, min(coalesced, n_cands))
+        join_buckets = max(1, min(nbuckets, 2 * n_cands))
 
     def add_pb(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -346,7 +374,9 @@ def jaccard_verify_pairs_ray(
         )
 
     sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    joined = partitioned_hash_join(requests, sh_ds, on="__doc", nbuckets=nbuckets)
+    joined = partitioned_hash_join(
+        requests, sh_ds, on="__doc", nbuckets=join_buckets
+    )
 
     def verify_bucket(g: pa.Table) -> pa.Table:
         a = g["a"].to_numpy(zero_copy_only=False)
@@ -422,7 +452,7 @@ def _verified_pairs(
         out = jaccard_pairs_exact(table, cands, col, id_col, ngram, tau)
     else:
         out = jaccard_verify_pairs_ray(
-            ds, cands_ds, col, id_col, ngram, tau, nbuckets
+            ds, cands_ds, col, id_col, ngram, tau, nbuckets, n_cands=n
         )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
