@@ -436,6 +436,37 @@ def _q_curate_decontam(sf_dir: str) -> Any:
     ).reset_index(drop=True)
 
 
+def _q_curate_full(sf_dir: str) -> Any:
+    """The full curation composition, end to end: stats + lang +
+    repetition scoring -> quality/lang/repetition filters -> exact
+    dedup -> PII redaction -> stratified md5 sampling -> greedy
+    sequence packing. The oracle replays every stage in SQL
+    (_curate_sql with all extensions). The curated stream is
+    materialized ONCE and feeds both consumers (the attribute frame
+    and the packing shuffle) — branch reuse, not a mid-pipeline
+    materialization of an unbounded input: survivors are
+    filter+dedup+sample-bounded."""
+    from yaii_ray.ops.curation import pack_sequences
+    from yaii_ray.pipelines import curate
+
+    curated = curate(
+        _docs_ray_ds(sf_dir, ["doc_id", "text", "source", "n_chars"]),
+        min_quality=0.5,
+        langs=("en", "fr"),
+        max_dup_word_frac=0.6,
+        redact=True,
+        sample_rates=_SAMPLE_RATES,
+    ).materialize()
+    attrs = curated.to_pandas()
+    packed = pack_sequences(curated, budget=1500, range_size=100).to_pandas()
+    out = attrs.merge(packed[["doc_id", "dom", "seq"]], on="doc_id")
+    out["quality_r"] = out["quality"].round(6)
+    out["dup_word_frac_r"] = out["dup_word_frac"].round(6)
+    return out[
+        ["doc_id", "lang_guess", "quality_r", "dup_word_frac_r", "dom", "seq"]
+    ].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_near_dup_jaccard(sf_dir: str) -> Any:
     """Exact word-3-gram Jaccard near-dup pairs (tau=0.4) via the
     inverted shingle index; SQL oracle recomputes all pairs."""
@@ -1054,6 +1085,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": _q_dedup_exact,
     "curate_docs": _q_curate_docs,
     "curate_decontam": _q_curate_decontam,
+    "curate_full": _q_curate_full,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash": _q_near_dup_minhash,
     "near_dup_minhash_ray": _q_near_dup_minhash_ray,
@@ -1500,6 +1532,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dom, seq FROM packed""",
         "curate_docs": _curate_sql(),
         "curate_decontam": _curate_sql(decontam_mod=17, decontam_n=5),
+        "curate_full": _curate_sql(max_dup_word_frac=0.6, sample=True,
+                                   pack=(1500, 100)),
         # registration happens after the first of 5 micro-batches =
         # after floor(n/5) docs; doc_id == row order for this table
         "continuous_future": """
@@ -1675,6 +1709,9 @@ def _curate_sql(
     langs: tuple = ("en", "fr"),
     decontam_mod: int | None = None,
     decontam_n: int = 3,
+    max_dup_word_frac: float | None = None,
+    sample: bool = False,
+    pack: tuple[int, int] | None = None,
 ) -> str:
     """SQL twin of pipelines.curate(min_quality, langs[, bench_ds]):
     the text_stats quality formula + the lang_id argmax (both reused
@@ -1683,7 +1720,12 @@ def _curate_sql(
     membership), optional decontamination against the
     ``doc_id % decontam_mod == 0`` benchmark slice (the decontam_ngram
     oracle's shingle join), then min-id per distinct text among the
-    survivors."""
+    survivors. Extended stages (curate_full): ``max_dup_word_frac``
+    adds the repetition screen to the filter, ``sample`` applies the
+    md5 per-source sampling predicate AFTER dedup (stage order is the
+    contract — the min-id winner is chosen before sampling), ``pack``
+    = (budget, range_size) appends the greedy packing recursion over
+    the sampled survivors and emits (dom, seq) columns."""
     stop = _stoplist_sql()
     lang_sql = _lang_id_sql()
     in_langs = ", ".join(f"'{L}'" for L in langs)
@@ -1719,8 +1761,75 @@ def _curate_sql(
         decontam_pred = (
             "AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)"
         )
+    rep_cte, rep_join, rep_pred, rep_col = "", "", "", ""
+    if max_dup_word_frac is not None:
+        rep_cte = r"""
+        rtoks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        rep AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) > 0
+                      THEN (len(t) - len(list_distinct(t)))::DOUBLE / len(t)
+                      ELSE 0 END AS dup_word_frac
+          FROM rtoks
+        ),"""
+        rep_join = "JOIN rep USING (doc_id)"
+        rep_pred = f"AND round(rep.dup_word_frac, 6) <= {max_dup_word_frac}"
+        rep_col = ", rep.dup_word_frac"
+
+    final_cols = "doc_id, lang_guess, round(quality, 6) AS quality_r"
+    if max_dup_word_frac is not None:
+        final_cols += ", round(dup_word_frac, 6) AS dup_word_frac_r"
+    tail_ctes = """
+        dedup AS (
+          SELECT f.* FROM filt f
+          JOIN (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text) k
+            USING (doc_id)
+        )"""
+    last = "dedup"
+    if sample:
+        tail_ctes += f""",
+        samp AS (
+          SELECT * FROM dedup
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                {_sample_case_sql("source")}
+        )"""
+        last = "samp"
+    if pack:
+        budget, rs = pack
+        tail_ctes += f""",
+        pseq AS (
+          SELECT doc_id, n_chars, doc_id // {rs} AS dom,
+                 row_number() OVER (PARTITION BY doc_id // {rs}
+                                    ORDER BY doc_id) AS rn
+          FROM {last}
+        ),
+        packed AS (
+          SELECT dom, rn, doc_id, 0::BIGINT AS seq, n_chars AS running
+          FROM pseq WHERE rn = 1
+          UNION ALL
+          SELECT d.dom, d.rn, d.doc_id,
+                 CASE WHEN p.running > 0 AND p.running + d.n_chars > {budget}
+                      THEN p.seq + 1 ELSE p.seq END,
+                 CASE WHEN p.running > 0 AND p.running + d.n_chars > {budget}
+                      THEN d.n_chars ELSE p.running + d.n_chars END
+          FROM packed p JOIN pseq d ON d.dom = p.dom AND d.rn = p.rn + 1
+        )"""
+        final = f"""
+        SELECT {final_cols}, pk.dom, pk.seq
+        FROM {last} JOIN (SELECT doc_id, dom, seq FROM packed) pk
+          USING (doc_id)
+        ORDER BY doc_id"""
+    else:
+        final = f"""
+        SELECT {final_cols} FROM {last} ORDER BY doc_id"""
+    head = "WITH RECURSIVE" if pack else "WITH"
     return f"""
-        WITH {decontam_ctes} lang AS ({lang_sql}),
+        {head} {decontam_ctes} {rep_cte} lang AS ({lang_sql}),
         qual AS (
           WITH toks AS (SELECT doc_id, text, {_TOKENIZE} AS t FROM documents),
           m AS (
@@ -1740,34 +1849,38 @@ def _curate_sql(
           FROM m
         ),
         filt AS (
-          SELECT d.doc_id, d.text, lang.lang_guess, qual.quality
+          SELECT d.doc_id, d.text, d.source, d.n_chars,
+                 lang.lang_guess, qual.quality{rep_col}
           FROM (SELECT * FROM documents {base_where}) d
-          JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+          JOIN lang USING (doc_id) JOIN qual USING (doc_id) {rep_join}
           WHERE round(qual.quality, 6) >= {min_quality}
             AND lang.lang_guess IN ({in_langs})
-            {decontam_pred}
-        )
-        SELECT f.doc_id, f.lang_guess, round(f.quality, 6) AS quality_r
-        FROM filt f
-        JOIN (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text) k
-          USING (doc_id)
-        ORDER BY doc_id"""
+            {decontam_pred} {rep_pred}
+        ),
+        {tail_ctes}
+        {final}"""
 
 
-def _sample_stratified_sql() -> str:
-    """SQL twin of _q_sample_stratified: the per-source keep threshold
-    is curation._hex_threshold(rate) on BOTH sides (fixed-width
-    lowercase hex compares lexicographically == numerically)."""
+def _sample_case_sql(col: str = "source") -> str:
+    """Per-stratum keep-threshold CASE for the md5 sampling predicate
+    — thresholds come from curation._hex_threshold(rate) so engine and
+    oracle share the exact rule (fixed-width lowercase hex compares
+    lexicographically == numerically)."""
     from yaii_ray.ops.curation import _hex_threshold
 
     cases = " ".join(
         f"WHEN '{src}' THEN '{_hex_threshold(rate)}'"
         for src, rate in sorted(_SAMPLE_RATES.items())
     )
+    return f"CASE {col} {cases} ELSE '0' END"
+
+
+def _sample_stratified_sql() -> str:
+    """SQL twin of _q_sample_stratified."""
     return f"""
         SELECT doc_id, source FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-              CASE source {cases} ELSE '0' END
+              {_sample_case_sql()}
         ORDER BY doc_id"""
 
 

@@ -29,11 +29,22 @@ def curate(
     decontam_n: int = 13,
     dedupe: bool = True,
     dedup_buckets: int = 16,
+    max_dup_word_frac: float | None = None,
+    redact: bool = False,
+    sample_rates: dict[str, float] | None = None,
+    sample_strata: str = "source",
 ):
     """Curation pipeline: text statistics + language ID per batch,
+    optional Gopher-style repetition screen (``max_dup_word_frac`` —
+    drop docs whose duplicate-word fraction exceeds it),
     quality/language filter, optional benchmark decontamination
     (``bench_ds`` — n-gram overlap screen, broadcast small side),
-    exact content dedup (keep the min-id row per distinct text).
+    exact content dedup (keep the min-id row per distinct text), then
+    optional PII redaction (``redact`` — after dedup, on survivors
+    only) and deterministic per-stratum hash sampling
+    (``sample_rates`` — data mixing; a pure function of the id, so
+    the stage order is part of the contract: sampling AFTER dedup
+    means the min-id winner is chosen before any row is sampled away).
     Returns the surviving rows as a streaming Dataset carrying the
     original columns plus the score columns (n_tokens,
     stopword_ratio, ..., quality, lang_guess).
@@ -47,11 +58,16 @@ def curate(
     the convention is round-to-6 on both sides and ignore the mode."""
 
     def score(b: pa.Table) -> pa.Table:
-        return lang_id_batch(text_stats_batch(b, col), col)
+        out = lang_id_batch(text_stats_batch(b, col), col)
+        if max_dup_word_frac is not None:
+            from yaii_ray.ops.textstats import repetition_stats_batch
+
+            out = repetition_stats_batch(out, col)
+        return out
 
     scored = ds.map_batches(score, batch_format="pyarrow")
 
-    if min_quality is not None or langs is not None:
+    if min_quality is not None or langs is not None or max_dup_word_frac is not None:
 
         def keep(b: pa.Table) -> pa.Table:
             mask = pa.array([True] * b.num_rows, type=pa.bool_())
@@ -62,6 +78,12 @@ def curate(
                 mask = pc.and_(
                     mask,
                     pc.is_in(b["lang_guess"], value_set=pa.array(sorted(langs))),
+                )
+            if max_dup_word_frac is not None:
+                d = pc.round(b["dup_word_frac"], ndigits=6)
+                mask = pc.and_(
+                    mask,
+                    pc.less_equal(d, pa.scalar(float(max_dup_word_frac))),
                 )
             return b.filter(mask)
 
@@ -79,4 +101,18 @@ def curate(
 
     if dedupe:
         scored = dedup_exact(scored, col=col, id_col=id_col, nbuckets=dedup_buckets)
+
+    if redact:
+        from yaii_ray.ops.curation import redact_pii_batch
+
+        scored = scored.map_batches(
+            lambda b: redact_pii_batch(b, col), batch_format="pyarrow"
+        )
+
+    if sample_rates is not None:
+        from yaii_ray.ops.curation import sample_hash
+
+        scored = sample_hash(
+            scored, rates=sample_rates, id_col=id_col, strata_col=sample_strata
+        )
     return scored
