@@ -812,6 +812,20 @@ def _q_lang_id(sf_dir: str) -> Any:
     return out[["doc_id", "lang_guess"]]
 
 
+def _q_unigram_logprob(sf_dir: str) -> Any:
+    """CCNet-style LM quality stand-in: mean -log2 p(token) under the
+    corpus's own add-0.5-smoothed unigram model. Two passes: one
+    shuffle builds the vocab-sized model, which broadcasts once; the
+    scoring pass is a pure vectorized map."""
+    from yaii_ray.ops import textstats
+
+    out = textstats.unigram_logprob(
+        _docs_ray_ds(sf_dir, ["doc_id", "text"])
+    ).to_pandas()
+    out["bits_per_token_r"] = out["bits_per_token"].round(6)
+    return out[["doc_id", "bits_per_token_r"]]
+
+
 def _q_repetition_stats(sf_dir: str) -> Any:
     """Gopher-style repetition signals (dup-word fraction, top-bigram
     fraction) — the standard boilerplate/word-soup quality filter
@@ -1104,6 +1118,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "lang_id": _q_lang_id,
     "repetition_stats": _q_repetition_stats,
+    "unigram_logprob": _q_unigram_logprob,
     "pii_redact": _q_pii_redact,
     "sample_stratified": _q_sample_stratified,
     "pack_sequences": _q_pack_sequences,
@@ -1507,6 +1522,31 @@ def oracle_sql() -> dict[str, str]:
               AS redacted
             FROM aug""",
         "sample_stratified": _sample_stratified_sql(),
+        # the engine computes mean(-log2 p) as reduceat-sum/count;
+        # DuckDB's avg may sum in a different order — round-to-6
+        # absorbs the ~1e-15 float divergence (the repo convention)
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            cnt AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+            tot AS (SELECT sum(c)::DOUBLE AS total,
+                           count(*)::DOUBLE AS v FROM cnt),
+            lp AS (
+              SELECT tok, log2((c + 0.5) / (total + 0.5 * v)) AS lp
+              FROM cnt, tot
+            ),
+            doc AS (
+              SELECT f.doc_id, avg(-l.lp) AS bits
+              FROM flat f JOIN lp l USING (tok) GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(doc.bits, 0), 6) AS bits_per_token_r
+            FROM documents d LEFT JOIN doc USING (doc_id)""",
         # greedy first-fit packing, sequential within each 100-id
         # range, advanced range-parallel by the recursion (row rn of
         # every range per step); the p.running > 0 guard matches the

@@ -1279,3 +1279,35 @@ def test_curate_extended_stages(ray_session):
     assert out.loc[out.doc_id == 2, "text"].iloc[0].endswith("contact <EMAIL>")
     assert _hex_threshold(1.0) == "g"
     assert hashlib.md5(b"0").hexdigest()[:8] < "g"
+
+
+def test_unigram_logprob_handcrafted(ray_session):
+    """ops/textstats.py: bits_per_token == hand-computed mean
+    -log2 p under the add-0.5-smoothed corpus unigram model; empty
+    docs score 0."""
+    import math
+
+    import ray.data
+
+    from yaii_ray.ops.textstats import unigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["a a b", "b c", ""],
+        }
+    )
+    out = (
+        unigram_logprob(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # counts: a=2 b=2 c=1, total=5, V=3, denom = 5 + 0.5*3 = 6.5
+    pa_, pb, pc_ = 2.5 / 6.5, 2.5 / 6.5, 1.5 / 6.5
+    want = [
+        -(2 * math.log2(pa_) + math.log2(pb)) / 3,
+        -(math.log2(pb) + math.log2(pc_)) / 2,
+        0.0,
+    ]
+    got = out["bits_per_token"].tolist()
+    assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))

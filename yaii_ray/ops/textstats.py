@@ -256,6 +256,105 @@ def repetition_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     ).append_column("top_bigram_frac", pa.array(top_bg_frac))
 
 
+def token_counts(ds, col: str = "text", final_partitions: int | None = 1):
+    """Corpus unigram counts as a Dataset of (token, c): per-batch
+    explode to one row per token (lowercased ``\\s+`` splits, empties
+    dropped), then the canonical partial-combine grouped aggregate
+    (each block shrinks to its distinct tokens before the ONE
+    shuffle). ``final_partitions=1`` suits natural-language vocabulary
+    sizes; raise it for corpora whose token space is genuinely huge."""
+    from yaii_ray.ops.grouped import grouped_aggregate
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(arr, "")), pattern=r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_aggregate(
+        exploded, ["token"], [(None, "count", "c")],
+        final_partitions=final_partitions,
+    )
+
+
+def unigram_logprob(
+    ds, col: str = "text", id_col: str = "doc_id", alpha: float = 0.5
+):
+    """CCNet-style LM quality signal (Wenzek et al. 2019 use a real
+    5-gram LM; the deterministic stand-in is the corpus's own unigram
+    model): append ``bits_per_token`` = mean -log2 p(token) under the
+    add-``alpha``-smoothed corpus unigram distribution. High values =
+    rare-token soup; low = common-word text. Docs with no tokens
+    score 0.
+
+    Two passes over the input (build the model, then score — pass a
+    materialized/cheaply-re-readable Dataset): pass 1 is
+    :func:`token_counts` (one shuffle, vocab-sized result), whose
+    (sorted vocab, logp) arrays broadcast ONCE via ``ray.put``; pass 2
+    scores each batch vectorized — one split, one ``np.searchsorted``
+    against the broadcast vocab, per-doc means via ``reduceat``."""
+    import ray
+
+    counts = token_counts(ds, col).to_pandas()  # vocab-sized by design
+    total = float(counts["c"].sum())
+    v = float(len(counts))
+    vocab_arr = counts["token"].to_numpy(dtype=object)
+    order = np.argsort(vocab_arr)
+    vocab_sorted = vocab_arr[order].astype(str)
+    logp = np.log2(
+        (counts["c"].to_numpy(dtype=np.float64)[order] + alpha)
+        / (total + alpha * v)
+    )
+    model_ref = ray.put((vocab_sorted, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_s, lp = ray.get(model_ref)
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(arr, "")), pattern=r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        raw_counts = np.diff(offsets - base)
+        ndocs = len(raw_counts)
+        flat = toks.values
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        counts_d = np.zeros(ndocs, dtype=np.int64)
+        nz = raw_counts > 0
+        if keep.size:
+            counts_d[nz] = np.add.reduceat(
+                keep.astype(np.int64), (offsets - base)[:-1][nz]
+            )
+        flat = flat.filter(pa.array(keep))
+        bits = np.zeros(ndocs, dtype=np.float64)
+        if len(flat):
+            ft = np.asarray(flat.to_pylist(), dtype=str)
+            # every token is in-vocab (the model was built on this
+            # corpus), so searchsorted is an exact lookup
+            idx = np.searchsorted(vocab_s, ft)
+            tok_bits = -lp[idx]
+            starts = np.r_[0, np.cumsum(counts_d)][:-1]
+            has = counts_d > 0
+            bits[has] = (
+                np.add.reduceat(tok_bits, starts[has]) / counts_d[has]
+            )
+        return batch.append_column("bits_per_token", pa.array(bits))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fp_md5`` (md5 hex of lowercased whitespace-normalized
     token join — SQL: ``md5(array_to_string(tokens, ' '))``) and
