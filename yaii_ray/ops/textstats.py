@@ -208,7 +208,7 @@ def repetition_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     dup_frac = np.zeros(ndocs, dtype=np.float64)
     top_bg_frac = np.zeros(ndocs, dtype=np.float64)
     if len(flat):
-        h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+        h = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
         order = np.lexsort((h, doc_idx))
         hs, ds_ = h[order], doc_idx[order]
         new_run = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]
@@ -230,9 +230,8 @@ def repetition_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             bdoc = doc_idx[:-1][same_doc]
             if bdoc.size:
                 bh = pd.util.hash_array(
-                    np.asarray(
-                        joined.filter(pa.array(same_doc)).to_pylist(),
-                        dtype=object,
+                    joined.filter(pa.array(same_doc)).to_numpy(
+                        zero_copy_only=False
                     )
                 )
                 nb = np.maximum(counts - 1, 0)
@@ -340,7 +339,7 @@ def unigram_logprob(
         flat = flat.filter(pa.array(keep))
         bits = np.zeros(ndocs, dtype=np.float64)
         if len(flat):
-            ft = np.asarray(flat.to_pylist(), dtype=str)
+            ft = flat.to_numpy(zero_copy_only=False).astype(str)
             # every token is in-vocab (the model was built on this
             # corpus), so searchsorted is an exact lookup
             idx = np.searchsorted(vocab_s, ft)
