@@ -713,6 +713,47 @@ def _q_multimodal_audio_frames(sf_dir: str) -> Any:
     return out[["doc_id", "rate", "n_frames"]]
 
 
+def _q_multimodal_video_frames(sf_dir: str) -> Any:
+    """Multimodal video plumbing: attach a deterministic fake video
+    payload per doc (binary column, FVID codec), frame-sample it in an
+    actor-pool map_batches stage (every 2nd frame, first 3). The
+    deterministic geometry (width, height, sampled frame count =
+    min(3, ceil(nframes/2))) has an exact SQL twin; luma-value
+    exactness is tests/test_ops.py."""
+    import pyarrow.compute as pc
+
+    from yaii_ray.ops import multimodal as mm
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        vids = [
+            mm.encode_fake_video(
+                16 + int(i) % 8, 12 + int(i) % 5, 4 + int(i) % 10,
+                seed=int(i),
+            )
+            for i in ids
+        ]
+        return b.append_column("video", pa.array(vids, type=pa.binary()))
+
+    def frame_count(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_frames",
+            pc.cast(pc.list_value_length(b["frame_lumas"]), pa.int64()),
+        ).drop_columns(["frame_lumas"])
+
+    out = (
+        _docs_ray_ds(sf_dir, ["doc_id"])
+        .map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            mm.VideoFrameSample(stride=2, max_frames=3),
+            concurrency=2, batch_size=256, batch_format="pyarrow",
+        )
+        .map_batches(frame_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "width", "height", "n_frames"]]
+
+
 def _q_embed_cosine_pairs(sf_dir: str) -> Any:
     import ray.data
 
@@ -1111,6 +1152,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_image_meta": _q_multimodal_image_meta,
     "multimodal_audio_frames": _q_multimodal_audio_frames,
+    "multimodal_video_frames": _q_multimodal_video_frames,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
     "text_stats": _q_text_stats,
@@ -1411,6 +1453,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
                    CAST(least(4, ceil((16 + doc_id % 100) / 16.0)) AS BIGINT)
+                     AS n_frames
+            FROM documents""",
+        "multimodal_video_frames": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 8 AS INT) AS width,
+                   CAST(12 + doc_id % 5 AS INT) AS height,
+                   CAST(least(3, ceil((4 + doc_id % 10) / 2.0)) AS BIGINT)
                      AS n_frames
             FROM documents""",
         "embed_cosine_pairs": """
