@@ -1311,3 +1311,37 @@ def test_unigram_logprob_handcrafted(ray_session):
     ]
     got = out["bits_per_token"].tolist()
     assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))
+
+
+def test_search_dataset_all_termless_queries(ray_session, tmp_path):
+    """Sharded path: a query set where NO query has surviving terms
+    produces an empty (schema-full) result — the union + merge
+    shuffle must not choke on all-empty partials."""
+    import ray.data
+
+    from yaii_ray.build import build_index_from_table
+    from yaii_ray.config import FieldConfig, IndexConfig, KIND_TEXT
+    from yaii_ray.ops.search import search_dataset
+
+    t = pa.table({"text": pa.array(["alpha beta gamma"] * 20)})
+    cfg = IndexConfig(
+        fields={"text": FieldConfig(kind=KIND_TEXT, scored=True)},
+        all_field=False,
+        num_shards=2,
+    )
+    out = str(tmp_path / "termless_idx")
+    build_index_from_table(t, out, cfg)
+    qt = pa.table(
+        {
+            "qid": pa.array([0, 1], type=pa.int64()),
+            "query": ["zzz_nope", "qqq_nothing"],
+        }
+    )
+    got = search_dataset(
+        ray.data.from_arrow(qt), out, k=5, concurrency=2, batch_size=1
+    ).to_pandas()
+    # Ray drops the schema when a groupby has zero groups (verified:
+    # even unioning a schema-full 0-row seed doesn't restore it), so
+    # the contract for this degenerate case is 0 rows, columns
+    # unspecified — callers must gate on len() before column access
+    assert len(got) == 0

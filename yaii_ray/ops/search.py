@@ -219,7 +219,12 @@ def search_dataset(
     bounds each merge call's frame at ~nq*k*num_shards/merge_buckets
     rows — raise with corpus-sized query sets; ``merge_partitions``
     sizes the ONE merge shuffle (Arrow-format map_groups keeps empty
-    reduce partitions schema-full, so small counts are safe)."""
+    reduce partitions schema-full, so small counts are safe).
+
+    Degenerate contract: if NO query has a surviving term the result
+    has 0 rows and Ray drops the schema (zero-group groupby; a
+    schema-full seed union does not restore it) — gate on row count
+    before column access."""
     from yaii_ray.build import load_manifest
 
     nsh = load_manifest(index_dir)["num_shards"]
