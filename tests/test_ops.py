@@ -1345,3 +1345,37 @@ def test_search_dataset_all_termless_queries(ray_session, tmp_path):
     # the contract for this degenerate case is 0 rows, columns
     # unspecified — callers must gate on len() before column access
     assert len(got) == 0
+
+
+def test_greedy_pack_invariants_property():
+    """ops/curation.greedy_pack (pure, no Ray): sequence ids start at
+    0 and step by at most 1; every multi-item sequence's total fits
+    the budget; greedy = the first item of each new sequence would
+    have overflowed the previous one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yaii_ray.ops.curation import greedy_pack
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ns=st.lists(st.integers(1, 2000), min_size=1, max_size=120),
+        budget=st.integers(1, 3000),
+    )
+    def check(ns, budget):
+        arr = np.asarray(ns, dtype=np.int64)
+        seq = greedy_pack(arr, budget)
+        assert seq[0] == 0
+        steps = np.diff(seq)
+        assert ((steps == 0) | (steps == 1)).all()
+        for s in range(int(seq.max()) + 1):
+            members = arr[seq == s]
+            assert members.size >= 1
+            if members.size > 1:
+                assert members.sum() <= budget
+        starts = np.flatnonzero(np.r_[False, steps == 1])
+        for i in starts:
+            prev_members = arr[(seq == seq[i] - 1)]
+            assert prev_members.sum() + arr[i] > budget
+
+    check()

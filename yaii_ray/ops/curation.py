@@ -117,6 +117,23 @@ def sample_hash(
     )
 
 
+def greedy_pack(ns: np.ndarray, budget: int) -> np.ndarray:
+    """First-fit sequence ids for sizes ``ns`` in order: break before
+    item i iff the running total is non-empty and would exceed
+    ``budget`` with it; an oversized item sits alone. Pure — the
+    sequential core of :func:`pack_sequences`, property-tested in
+    isolation."""
+    seq = np.empty(len(ns), dtype=np.int64)
+    running, s = 0, 0
+    for i, n in enumerate(ns):
+        if running > 0 and running + n > budget:
+            s += 1
+            running = 0
+        seq[i] = s
+        running += int(n)
+    return seq
+
+
 def pack_sequences(
     ds,
     budget: int,
@@ -155,14 +172,7 @@ def pack_sequences(
         ns = g["__n"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids, ns = ids[order], ns[order]
-        seq = np.empty(ids.size, dtype=np.int64)
-        running, s = 0, 0
-        for i in range(ids.size):
-            if running > 0 and running + ns[i] > budget:
-                s += 1
-                running = 0
-            seq[i] = s
-            running += ns[i]
+        seq = greedy_pack(ns, budget)
         return pa.table(
             {
                 id_col: pa.array(ids),
