@@ -713,6 +713,51 @@ def _q_multimodal_audio_frames(sf_dir: str) -> Any:
     return out[["doc_id", "rate", "n_frames"]]
 
 
+def _q_quantize_embeddings(sf_dir: str) -> Any:
+    """Symmetric int8 embedding quantization (4x memory for the ANN
+    store): per-vector scale = max|x|/127, code = floor(x/scale + 0.5)
+    clipped — exact-integer codes, so the oracle replays them
+    bit-for-bit. Output flattened to scalar rows (vec_id, i, q,
+    q_scale_r) for the hash compare."""
+    import ray.data
+
+    from yaii_ray.ops import ann
+
+    def flatten(b: pa.Table) -> pa.Table:
+        arr = b["q_embedding"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets - offsets[0])
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        scale = b["q_scale"].to_numpy(zero_copy_only=False)
+        q = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.concatenate(
+            [np.arange(1, n + 1, dtype=np.int64) for n in lens]
+        ) if len(lens) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, lens)),
+                "i": pa.array(i),
+                "q": pa.array(q),
+                "q_scale_r": pa.array(np.round(np.repeat(scale, lens), 6)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(
+            lambda b: ann.quantize_embeddings_batch(b), batch_format="pyarrow"
+        )
+        .map_batches(flatten, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "i"]).reset_index(drop=True)
+
+
 def _q_multimodal_video_frames(sf_dir: str) -> Any:
     """Multimodal video plumbing: attach a deterministic fake video
     payload per doc (binary column, FVID codec), frame-sample it in an
@@ -1153,6 +1198,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_image_meta": _q_multimodal_image_meta,
     "multimodal_audio_frames": _q_multimodal_audio_frames,
     "multimodal_video_frames": _q_multimodal_video_frames,
+    "quantize_embeddings": _q_quantize_embeddings,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
     "text_stats": _q_text_stats,
@@ -1462,6 +1508,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(3, ceil((4 + doc_id % 10) / 2.0)) AS BIGINT)
                      AS n_frames
             FROM documents""",
+        "quantize_embeddings": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            s AS (SELECT vec_id, emb,
+                         list_max(list_transform(emb, x -> abs(x))) / 127.0
+                           AS scale
+                  FROM v),
+            f AS (SELECT vec_id, scale, emb,
+                         unnest(generate_series(1, len(emb))) AS i
+                  FROM s)
+            SELECT vec_id, i,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                             ELSE greatest(-127, least(127,
+                                    floor(emb[i] / scale + 0.5))) END
+                        AS BIGINT) AS q,
+                   round(scale, 6) AS q_scale_r
+            FROM f""",
         "embed_cosine_pairs": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
             SELECT x.vec_id AS a, y.vec_id AS b,

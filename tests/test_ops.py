@@ -1379,3 +1379,34 @@ def test_greedy_pack_invariants_property():
             assert prev_members.sum() + arr[i] > budget
 
     check()
+
+
+def test_quantize_embeddings_batch():
+    """ops/ann.py: int8 codes match direct computation, reconstruction
+    error is bounded by scale/2 per component, zero vectors get scale
+    0 and zero codes (kernel-only, no Ray)."""
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(5)]
+    vecs.append(np.zeros(8, dtype=np.float32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    out = ann.quantize_embeddings_batch(t)
+    scales = out["q_scale"].to_pylist()
+    codes = out["q_embedding"].to_pylist()
+    for v, s, q in zip(vecs, scales, codes):
+        x = v.astype(np.float64)
+        if not x.any():
+            assert s == 0.0 and all(c == 0 for c in q)
+            continue
+        want_s = np.abs(x).max() / 127.0
+        assert s == want_s
+        want_q = np.clip(np.floor(x / want_s + 0.5), -127, 127)
+        assert q == want_q.astype(np.int64).tolist()
+        recon = np.asarray(q, dtype=np.float64) * s
+        assert np.abs(recon - x).max() <= s / 2 + 1e-12
+        assert max(abs(c) for c in q) == 127  # max component hits full range

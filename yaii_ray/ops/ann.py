@@ -43,6 +43,46 @@ import pyarrow as pa
 from yaii_ray.ops.dedup import _normalize, _vec_matrix
 
 
+def quantize_embeddings_batch(
+    batch: pa.Table,
+    col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> pa.Table:
+    """Symmetric per-vector int8 quantization — the standard serving
+    compression for billion-scale ANN corpora (4x memory vs float32,
+    int8-GEMM-able): ``scale = max|x| / 127`` in float64, ``code_i =
+    clip(floor(x_i / scale + 0.5), -127, 127)``. ``floor(x + 0.5)``
+    rounding (not banker's) is chosen so the DuckDB twin replays the
+    codes bit-identically; all-zero vectors get scale 0 and all-zero
+    codes. Vectorized over the flat value buffer (reduceat per-vector
+    max); handles ragged list lengths via offsets."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets - offsets[0])
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    starts = np.r_[0, np.cumsum(lens)][:-1]
+    mx = np.zeros(len(lens), dtype=np.float64)
+    nz = lens > 0
+    if flat.size:
+        mx[nz] = np.maximum.reduceat(np.abs(flat), starts[nz])
+    scale = mx / 127.0
+    rep = np.repeat(scale, lens)
+    q = np.zeros(flat.size, dtype=np.float64)
+    pos = rep > 0
+    q[pos] = np.floor(flat[pos] / rep[pos] + 0.5)
+    codes = np.clip(q, -127, 127).astype(np.int8)
+    qlist = pa.ListArray.from_arrays(
+        pa.array(np.r_[0, np.cumsum(lens)], type=pa.int32()),
+        pa.array(codes, type=pa.int8()),
+    )
+    return batch.append_column(out_col, qlist).append_column(
+        scale_col, pa.array(scale, type=pa.float64())
+    )
+
+
 def brute_topk(
     ds,
     queries: np.ndarray,
