@@ -844,6 +844,30 @@ def _q_ann_topk(sf_dir: str) -> Any:
     return got[["query", "vec_id", "rank", "cosine_r"]]
 
 
+def _q_ann_topk_quantized(sf_dir: str) -> Any:
+    """ANN served directly from the int8-quantized store: codes
+    dequantize on the fly (code * scale) and score through the same
+    broadcast-matmul top-k as ann_topk. The oracle reconstructs the
+    identical codes in SQL, so ranks and (rounded) cosines replay
+    exactly."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from yaii_ray.ops import ann
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    q = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
+    qm = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    got = ann.brute_topk_quantized(ds, qm, k=10)
+    got["cosine_r"] = got["cosine"].round(6)
+    got["query"] = got["query"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got[["query", "vec_id", "rank", "cosine_r"]]
+
+
 def _q_text_stats(sf_dir: str) -> Any:
     from yaii_ray.ops import textstats
 
@@ -1201,6 +1225,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "quantize_embeddings": _q_quantize_embeddings,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
     "ann_topk": _q_ann_topk,
+    "ann_topk_quantized": _q_ann_topk_quantized,
     "text_stats": _q_text_stats,
     "bpe_token_count": _q_bpe_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -1543,6 +1568,30 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id ASC) AS rank,
                      round(list_cosine_similarity(e.emb, q.emb), 6) AS cosine_r
               FROM v e, q
+            )
+            SELECT query, vec_id, rank, cosine_r FROM ranked WHERE rank <= 10""",
+        "ann_topk_quantized": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            s AS (SELECT vec_id, emb,
+                         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+                  FROM v),
+            recon AS (
+              SELECT vec_id,
+                     CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+                          ELSE list_transform(emb, x ->
+                            greatest(-127, least(127, floor(x / scale + 0.5)))
+                              * scale) END AS remb
+              FROM s
+            ),
+            q AS (SELECT vec_id AS query, emb FROM v WHERE vec_id < 3),
+            ranked AS (
+              SELECT q.query, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query
+                       ORDER BY list_cosine_similarity(e.remb, q.emb) DESC,
+                                e.vec_id ASC) AS rank,
+                     round(list_cosine_similarity(e.remb, q.emb), 6) AS cosine_r
+              FROM recon e, q
             )
             SELECT query, vec_id, rank, cosine_r FROM ranked WHERE rank <= 10""",
         "text_stats": f"""

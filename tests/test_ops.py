@@ -1410,3 +1410,24 @@ def test_quantize_embeddings_batch():
         recon = np.asarray(q, dtype=np.float64) * s
         assert np.abs(recon - x).max() <= s / 2 + 1e-12
         assert max(abs(c) for c in q) == 127  # max component hits full range
+
+
+def test_brute_topk_quantized_close_to_exact(emb_ds):
+    """ops/ann.py: int8-served top-k — cosines within quantization
+    noise of the exact scores, and the planted near-identical vectors
+    (cosine ~1, far above the noise floor) keep their top-1 slots."""
+    ds, mat, ids = emb_ds
+    qm = mat[:3].astype(np.float64)
+    exact = ann.brute_topk(ds, qm, k=5)
+    quant = ann.brute_topk_quantized(ds, qm, k=5)
+    assert len(quant) == len(exact)
+    # planted pairs: query j's top hit list must contain vec 30+j with
+    # cosine > 0.99 even after int8 reconstruction
+    for j in range(3):
+        sub = quant[quant["query"] == j]
+        hit = sub[sub["vec_id"] == 30 + j]
+        assert len(hit) == 1 and hit["cosine"].iloc[0] > 0.99
+    # per-(query, vec) cosine deltas bounded by quantization noise
+    m = exact.merge(quant, on=["query", "vec_id"], suffixes=("_e", "_q"))
+    assert len(m) > 0
+    assert (m["cosine_e"] - m["cosine_q"]).abs().max() < 0.02

@@ -43,6 +43,14 @@ import pyarrow as pa
 from yaii_ray.ops.dedup import _normalize, _vec_matrix
 
 
+def _list_lens(arr: pa.Array) -> np.ndarray:
+    """Per-row lengths for list or fixed_size_list arrays."""
+    if pa.types.is_fixed_size_list(arr.type):
+        return np.full(len(arr), arr.type.list_size, dtype=np.int64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.diff(offsets - offsets[0])
+
+
 def quantize_embeddings_batch(
     batch: pa.Table,
     col: str = "embedding",
@@ -60,8 +68,7 @@ def quantize_embeddings_batch(
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    lens = np.diff(offsets - offsets[0])
+    lens = _list_lens(arr)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     starts = np.r_[0, np.cumsum(lens)][:-1]
     mx = np.zeros(len(lens), dtype=np.float64)
@@ -116,6 +123,47 @@ def brute_topk(
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+def brute_topk_quantized(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Cosine top-k served DIRECTLY from the int8 store: each batch
+    dequantizes codes on the fly (``recon = code * scale``, float64 —
+    batches already carrying ``q_embedding``/``q_scale`` skip the
+    quantize step), then the standard broadcast-matmul local top-k of
+    :func:`brute_topk`. The serving corpus costs 4x less memory than
+    float32; per-component reconstruction error is bounded by
+    ``scale/2``, so ranks only move where true cosines are closer
+    than the quantization noise."""
+
+    def dequant(b: pa.Table) -> pa.Table:
+        qb = (
+            b
+            if "q_embedding" in b.column_names
+            else quantize_embeddings_batch(b, col=vec_col)
+        )
+        arr = qb["q_embedding"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = _list_lens(arr)
+        codes = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = qb["q_scale"].to_numpy(zero_copy_only=False)
+        recon = codes * np.repeat(scale, lens)
+        rlist = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(lens)], type=pa.int32()),
+            pa.array(recon, type=pa.float64()),
+        )
+        return pa.table({id_col: qb[id_col], vec_col: rlist})
+
+    return brute_topk(
+        ds.map_batches(dequant, batch_format="pyarrow"),
+        queries, k, id_col, vec_col,
+    )
 
 
 def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
