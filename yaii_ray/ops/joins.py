@@ -8,9 +8,10 @@ SURVEY.md §2.8). Three scale shapes from the Ray guide:
   key hash, one ``groupby(bucket)`` shuffle, per-bucket Arrow hash
   join. Salt/bucket count is explicit (skew handling = raise
   ``nbuckets``).
-- :func:`asof_join` — per-key ordered backward as-of lookup
-  (sort within key groups + ``searchsorted``), strict inequality,
-  deterministic tie-break by the secondary id column.
+- :func:`asof_join` — backward as-of lookup, hash-bucketed by key
+  (one groupby over ``nbuckets`` buckets; every key in a bucket
+  resolved in one vectorized sort + run-boundary pass), strict
+  inequality, deterministic tie-break by the secondary id column.
 """
 
 from __future__ import annotations
@@ -144,26 +145,65 @@ def asof_join(
     value_cols: list[str],
     id_col: str,
     out_prefix: str = "prev_",
+    nbuckets: int = 32,
 ):
     """Per-key backward as-of self-lookup: for each row, the values of
     the latest same-key row with a STRICTLY smaller timestamp
     (deterministic: rows ordered by (ts, id_col), so equal timestamps
     tie-break by id). Rows with no predecessor get nulls.
 
-    Ray shape: ``groupby(key)`` shuffle (keys co-located), vectorized
-    searchsorted per group — the merge_asof pattern of the guide with
-    an explicit tie-break."""
+    Scale shape (VERDICT r4 #1): keys are hash-bucketed map-side and
+    the one shuffle groups by ``__bucket`` (cardinality ``nbuckets``,
+    not #keys). Each bucket resolves ALL its keys in one vectorized
+    pass: sort by (key, ts, id), then the predecessor of row i is
+    ``run_start(i) - 1`` where runs are (key, ts) groups — valid only
+    while it stays inside i's key group. Null-index Arrow ``take``
+    yields the nulls. No per-key Python call anywhere."""
+    import pyarrow.compute as pc
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
-        tvals = g[ts].to_numpy()
-        idx = np.searchsorted(tvals, tvals, side="left") - 1
-        valid = idx >= 0
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__bucket")
+        n = g.num_rows
+        if n == 0:
+            for c in value_cols:
+                g = g.append_column(
+                    f"{out_prefix}{c}",
+                    pa.array([], type=g.schema.field(c).type),
+                )
+            return g
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(key, "ascending"), (ts, "ascending"),
+                       (id_col, "ascending")],
+        )
+        g = g.take(order)
+        t = g.column(ts).combine_chunks().to_numpy(zero_copy_only=False)
+        kcol = g.column(key).combine_chunks()
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = ~pc.equal(
+                kcol.slice(1), kcol.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        new_run = new_key.copy()
+        if n > 1:
+            new_run[1:] |= t[1:] != t[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        prev = run_start - 1
+        valid = prev >= key_start
+        take_idx = pa.array(np.where(valid, prev, 0), mask=~valid)
         for c in value_cols:
-            vals = g[c].to_numpy()
-            out = np.full(len(g), None, dtype=object)
-            out[valid] = vals[idx[valid]]
-            g[f"{out_prefix}{c}"] = out
+            g = g.append_column(
+                f"{out_prefix}{c}", pc.take(g.column(c), take_idx)
+            )
         return g
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    from yaii_ray.ops.windows import add_key_bucket
+
+    return (
+        ds.map_batches(add_key_bucket(key, nbuckets), batch_format="pyarrow")
+        .repartition(max(2, nbuckets // 4))
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
