@@ -1431,3 +1431,57 @@ def test_brute_topk_quantized_close_to_exact(emb_ds):
     m = exact.merge(quant, on=["query", "vec_id"], suffixes=("_e", "_q"))
     assert len(m) > 0
     assert (m["cosine_e"] - m["cosine_q"]).abs().max() < 0.02
+
+
+def test_bucketed_candidate_pairs_parity_and_scale(ray_session):
+    """VERDICT r4 #2: candidate emission groups by a bounded hash
+    bucket (Arrow), not per LSH bucket in pandas. Parity: the same
+    pair set as the per-bucket reference kernel on random buckets.
+    Scale: ~1e5 distinct LSH buckets complete in a handful of reduce
+    calls (time-bounded — per-bucket Python would be 1e5 calls)."""
+    import time
+
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    # parity on a skewed small case: bucket sizes 1..40, repeated ids
+    sizes = rng.integers(1, 40, size=200)
+    bh, ids = [], []
+    for bkt, s in enumerate(sizes):
+        members = rng.choice(500, size=s, replace=True)
+        bh.extend([bkt] * s)
+        ids.extend(members.tolist())
+    rows = pd.DataFrame({
+        "band": np.zeros(len(bh), dtype=np.int32),
+        "band_hash": np.array(bh, dtype=np.uint64),
+        "doc_id": np.array(ids, dtype=np.int64),
+    })
+    got = (
+        dedup.bucketed_candidate_pairs(
+            ray.data.from_pandas(rows), ["band", "band_hash"], "doc_id",
+            nbuckets=16,
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    want = (
+        rows.groupby(["band", "band_hash"], group_keys=False)[rows.columns]
+        .apply(lambda g: dedup.candidate_pairs_from_buckets(g, "doc_id"))
+        .drop_duplicates()
+    )
+    assert set(zip(got["a"], got["b"])) == set(zip(want["a"], want["b"]))
+
+    # scale: 1e5 buckets of 2 -> exactly 1e5 pairs, no per-bucket loop
+    nb = 100_000
+    big = pd.DataFrame({
+        "band": np.zeros(2 * nb, dtype=np.int32),
+        "band_hash": np.repeat(np.arange(nb, dtype=np.uint64), 2),
+        "doc_id": np.arange(2 * nb, dtype=np.int64),
+    })
+    t0 = time.monotonic()
+    out = dedup.bucketed_candidate_pairs(
+        ray.data.from_pandas(big), ["band", "band_hash"], "doc_id"
+    ).to_pandas()
+    assert len(out) == nb
+    assert (out["b"] - out["a"] == 1).all()
+    assert time.monotonic() - t0 < 30, "per-bucket Python loop regression"

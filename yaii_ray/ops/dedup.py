@@ -226,7 +226,8 @@ def lsh_band_rows(
 
 
 def candidate_pairs_from_buckets(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
-    """One LSH bucket -> all unordered id pairs."""
+    """One LSH bucket -> all unordered id pairs (reference kernel for
+    :func:`bucketed_candidate_pairs`, which is the pipeline shape)."""
     ids = np.sort(np.unique(g[id_col].to_numpy()))
     if ids.size < 2:
         z = np.zeros(0, dtype=np.int64)
@@ -234,6 +235,94 @@ def candidate_pairs_from_buckets(g: pd.DataFrame, id_col: str = "doc_id") -> pd.
     ai, bi = np.triu_indices(ids.size, k=1)
     return pd.DataFrame(
         {"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64)}
+    )
+
+
+def _concat_aranges(starts: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(start_i, start_i + size_i)`` without a
+    Python loop (same cumsum trick as ``shards._segment_indices``,
+    plus tolerance for zero sizes — the cumsum trick indexes past the
+    output for trailing/interior empty segments)."""
+    nz = sizes > 0
+    starts, sizes = starts[nz], sizes[nz]
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(sizes)
+    out_starts = ends - sizes
+    idx[out_starts] = starts
+    idx[out_starts[1:]] -= starts[:-1] + sizes[:-1] - 1
+    return np.cumsum(idx)
+
+
+def segment_all_pairs(ids: np.ndarray, seg_new: np.ndarray):
+    """All unordered within-segment pairs of a segment-sorted id array,
+    one vectorized pass over every segment at once. ``seg_new[i]`` is
+    True where row i starts a new segment; ids must be ascending
+    within each segment. Row j contributes ``loc_j`` pairs (one per
+    earlier row in its segment), so out_b repeats ids by local offset
+    and out_a gathers the concatenated aranges of segment prefixes."""
+    n = ids.size
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    pos = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(seg_new, pos, 0))
+    loc = pos - seg_start
+    out_b = np.repeat(ids, loc).astype(np.int64)
+    out_a = ids[_concat_aranges(seg_start, loc)].astype(np.int64)
+    return out_a, out_b
+
+
+def bucketed_candidate_pairs(rows_ds, bucket_keys: list[str],
+                             id_col: str = "doc_id", nbuckets: int = 64):
+    """(bucket-key..., id) rows -> candidate (a, b) pair Dataset.
+    Scale shape (VERDICT r4 #2): the shuffle groups by ``__cb =
+    hash(bucket_keys) % nbuckets`` (bounded cardinality — NOT one
+    reduce group per LSH bucket, whose count ≈ corpus × bands), and
+    each reduce call emits pairs for ALL its buckets in one Arrow
+    lexsort + :func:`segment_all_pairs` pass. Duplicate (bucket, id)
+    rows (same shingle repeated in a doc) are masked pre-emission;
+    cross-bucket duplicate pairs are deduped downstream as before."""
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        for kc in bucket_keys:
+            col = t[kc].to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = acc * np.uint64(1099511628211) + col
+        return t.append_column(
+            "__cb", pa.array((acc % np.uint64(nbuckets)).astype(np.int64))
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"a": z, "b": z})
+        keys = [
+            g[kc].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for kc in bucket_keys
+        ]
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, *reversed(keys)))
+        ids = ids[order]
+        keys = [k[order] for k in keys]
+        n = ids.size
+        seg_new = np.zeros(n, dtype=bool)
+        seg_new[0] = True
+        for k in keys:
+            seg_new[1:] |= k[1:] != k[:-1]
+        uniq = seg_new.copy()
+        uniq[1:] |= ids[1:] != ids[:-1]
+        ids, seg_new = ids[uniq], seg_new[uniq]
+        a, b = segment_all_pairs(ids, seg_new)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    return (
+        rows_ds.map_batches(add_cb, batch_format="pyarrow")
+        .repartition(max(2, nbuckets // 4))
+        .groupby("__cb")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 
@@ -483,9 +572,7 @@ def near_dup_pairs_minhash(
     band_rows = sigs.map_batches(
         lambda t: lsh_band_rows(t, id_col, bands, rows), batch_format="pyarrow"
     )
-    cands_ds = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas"
-    )
+    cands_ds = bucketed_candidate_pairs(band_rows, ["band", "band_hash"], id_col)
     return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau, verify=verify)
 
 
@@ -511,10 +598,10 @@ def near_dup_pairs_exact(
             }
         )
 
-    cands_ds = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas")
+    cands_ds = bucketed_candidate_pairs(
+        ds.map_batches(shingle_rows, batch_format="pyarrow"),
+        ["shingle"],
+        id_col,
     )
     return _verified_pairs(ds, cands_ds, col, id_col, ngram, tau)
 
@@ -916,9 +1003,7 @@ def near_dup_pairs_minhash_ds(
     band_rows = sigs.map_batches(
         lambda t: lsh_band_rows(t, id_col, bands, rows), batch_format="pyarrow"
     )
-    cands_ds = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: candidate_pairs_from_buckets(g, id_col), batch_format="pandas"
-    )
+    cands_ds = bucketed_candidate_pairs(band_rows, ["band", "band_hash"], id_col)
     return jaccard_verify_pairs_ray(
         ds, cands_ds, col, id_col, ngram, tau, nbuckets, collect=False
     )
