@@ -1030,6 +1030,34 @@ def test_decontaminate_ngrams_partition(ray_session):
     assert len(dirty) + len(clean) == 6
 
 
+def test_decontaminate_ngrams_empty_benchmark(ray_session):
+    """ADVICE r4: a benchmark with zero shingles (empty texts) must
+    mark every doc clean, not IndexError into the empty hash array."""
+    import ray.data
+
+    from yaii_ray.ops.decontam import decontaminate_ngrams
+
+    bench = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], type=pa.int64()), "text": [""]}
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": ["some words here", ""],
+            }
+        )
+    )
+    clean = decontaminate_ngrams(train, bench, n=3, keep="clean").to_pandas()
+    dirty = decontaminate_ngrams(
+        train, bench, n=3, keep="contaminated"
+    ).to_pandas()
+    assert sorted(clean["doc_id"]) == [0, 1]
+    assert len(dirty) == 0
+
+
 def test_curate_with_decontam_stage(ray_session):
     """pipelines.curate(bench_ds=...): the decontamination stage drops
     benchmark-overlapping docs between the quality filter and dedup."""

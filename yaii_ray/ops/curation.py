@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -82,19 +83,24 @@ def sample_hash_batch(
     (missing strata drop), else the global ``rate``. md5 is the
     deliberate oracle contract (DuckDB ``md5()``), per-value like
     :func:`yaii_ray.ops.textstats.fingerprint_batch`."""
-    ids = batch[id_col].to_pylist()
-    hexes = [
-        hashlib.md5((seed + str(i)).encode("utf-8")).hexdigest()[:8]
-        for i in ids
-    ]
+    # the md5 itself is per-value by contract; everything around it is
+    # numpy (no Arrow to_pylist, vectorized threshold compare — ADVICE r4)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sb = seed.encode("utf-8")
+    md5 = hashlib.md5
+    hexes = np.fromiter(
+        (md5(sb + str(i).encode("utf-8")).hexdigest()[:8] for i in ids.tolist()),
+        dtype="U8",
+        count=ids.size,
+    )
     if rates is not None:
-        strata = batch[strata_col].to_pylist()
+        strata = pd.Series(batch[strata_col].to_numpy(zero_copy_only=False))
         thr = {k: _hex_threshold(v) for k, v in rates.items()}
-        keep = [h < thr.get(s, "0") for h, s in zip(hexes, strata)]
+        thr_arr = strata.map(thr).fillna("0").to_numpy(dtype="U8")
+        keep = hexes < thr_arr
     else:
-        t = _hex_threshold(rate if rate is not None else 1.0)
-        keep = [h < t for h in hexes]
-    return batch.filter(pa.array(keep, type=pa.bool_()))
+        keep = hexes < _hex_threshold(rate if rate is not None else 1.0)
+    return batch.filter(pa.array(keep))
 
 
 def sample_hash(
@@ -140,6 +146,7 @@ def pack_sequences(
     range_size: int = 1000,
     id_col: str = "doc_id",
     n_col: str = "n_chars",
+    final_partitions: int = 1,
 ):
     """Assign each doc a training-sequence id by greedy first-fit in
     id order: a doc opens a new sequence when adding it would push the
@@ -152,7 +159,14 @@ def pack_sequences(
     independent ACROSS spans, so one groupby shuffle fans the spans
     out and each grouped task runs the O(range_size) greedy loop —
     the only non-vectorized loop here, inherent to first-fit's
-    running-total dependency."""
+    running-total dependency.
+
+    ``final_partitions`` sizes the groupby's reduce side (the shuffle
+    makes one reduce partition per input block; blocks > populated dom
+    groups emits schema-less empty RefBundles — the documented Ray
+    hazard, same mitigation as ``dedup_exact``). The default 1 suits
+    gate-scale corpora; scale callers raise it toward their populated
+    dom count for a parallel reduce."""
     rs = int(range_size)
 
     def add_dom(t: pa.Table) -> pa.Table:
@@ -183,6 +197,7 @@ def pack_sequences(
 
     return (
         ds.map_batches(add_dom, batch_format="pyarrow")
+        .repartition(max(1, int(final_partitions)))
         .groupby("dom")
         .map_groups(pack, batch_format="pyarrow")
     )

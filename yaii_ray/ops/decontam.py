@@ -37,8 +37,12 @@ def _bench_shingle_set(bench_ds, col: str, n: int) -> np.ndarray:
         return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
 
     parts = bench_ds.map_batches(block_hashes, batch_format="pyarrow")
-    out = parts.to_pandas()["h"].to_numpy().astype(np.uint64)
-    return np.unique(out)
+    df = parts.to_pandas()
+    if "h" not in df.columns:
+        # zero shingles on every block (empty/whitespace benchmark):
+        # Ray drops the schema of an all-empty result (ADVICE r4)
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(df["h"].to_numpy().astype(np.uint64))
 
 
 def decontaminate_ngrams(
@@ -64,8 +68,14 @@ def decontaminate_ngrams(
     def filter_block(b: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
         h, counts = _shingle_hashes(b[col].to_pylist(), n=n)
-        idx = np.searchsorted(bench, h)
-        hit = (idx < bench.size) & (bench[np.minimum(idx, bench.size - 1)] == h)
+        if bench.size == 0:
+            # degenerate benchmark (no shingles): nothing can be
+            # contaminated, and indexing the empty array below would
+            # raise (ADVICE r4)
+            hit = np.zeros(h.size, dtype=bool)
+        else:
+            idx = np.searchsorted(bench, h)
+            hit = (idx < bench.size) & (bench[np.minimum(idx, bench.size - 1)] == h)
         # any-hit per doc via segment sums over the flattened hits
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         per_doc = np.zeros(b.num_rows, dtype=bool)
