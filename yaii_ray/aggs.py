@@ -186,28 +186,54 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
     ]
     final_cols = [gcol, "count"] + partial_cols[2:]
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame(columns=partial_cols)
-        codes, uniq = pd.factorize(b[gcol], use_na_sentinel=False)
+    # Blocks crossing the ONE shuffle are Arrow end-to-end: Ray's
+    # sort-based groupby over pandas blocks is ~12x slower than over
+    # Arrow blocks (the ops/grouped.py gotcha — VERDICT r4 #3). The
+    # winner logic stays pandas/numpy INSIDE each call; every callable
+    # emits Arrow against an explicit schema derived from its input
+    # (so empty blocks and null-promoted int->float frames can't
+    # diverge block schemas).
+    def _partial_schema(in_schema: pa.Schema) -> pa.Schema:
+        fields = [(gcol, in_schema.field(gcol).type), ("__n", pa.int64())]
+        fields += [
+            (f"{name}.{c}", in_schema.field(c).type)
+            for name, cs in sub_cols.items()
+            for c in cs
+        ]
+        return pa.schema(fields)
+
+    def partial(b: pa.Table) -> pa.Table:
+        target = _partial_schema(b.schema)
+        if b.num_rows == 0:
+            return target.empty_table()
+        pdf = b.to_pandas()
+        codes, uniq = pd.factorize(pdf[gcol], use_na_sentinel=False)
         out = pd.DataFrame({gcol: uniq, "__n": np.bincount(codes, minlength=len(uniq))})
         for a in sub:
             if isinstance(a, (First, Last)):
                 srt = a.sort if isinstance(a, First) else _reverse(a.sort)
-                win = _first_per_code(b, codes, srt, rename={})
+                win = _first_per_code(pdf, codes, srt, rename={})
                 for c in sub_cols[a.name]:
-                    out[f"{a.name}.{c}"] = b[c].to_numpy()[win]
-        return out[partial_cols]
+                    out[f"{a.name}.{c}"] = pdf[c].to_numpy()[win]
+        return pa.Table.from_pandas(
+            out[partial_cols], schema=target, preserve_index=False
+        )
 
-    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(columns=final_cols)
-        codes, uniq = pd.factorize(g[gcol], use_na_sentinel=False)
+    def final_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__kb")
+        target = pa.schema(
+            [(gcol, g.schema.field(gcol).type), ("count", pa.int64())]
+            + [(f, g.schema.field(f).type) for f in partial_cols[2:]]
+        )
+        if g.num_rows == 0:
+            return target.empty_table()
+        pdf = g.to_pandas()
+        codes, uniq = pd.factorize(pdf[gcol], use_na_sentinel=False)
         out = pd.DataFrame(
             {
                 gcol: uniq,
                 "count": np.bincount(
-                    codes, weights=g["__n"].to_numpy(), minlength=len(uniq)
+                    codes, weights=pdf["__n"].to_numpy(), minlength=len(uniq)
                 ).astype(np.int64),
             }
         )
@@ -215,10 +241,12 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
             if isinstance(a, (First, Last)):
                 srt = a.sort if isinstance(a, First) else _reverse(a.sort)
                 rename = {f"{a.name}.{c}": c for c in sub_cols[a.name]}
-                win = _first_per_code(g, codes, srt, rename)
+                win = _first_per_code(pdf, codes, srt, rename)
                 for c in sub_cols[a.name]:
-                    out[f"{a.name}.{c}"] = g[f"{a.name}.{c}"].to_numpy()[win]
-        return out[final_cols]
+                    out[f"{a.name}.{c}"] = pdf[f"{a.name}.{c}"].to_numpy()[win]
+        return pa.Table.from_pandas(
+            out[final_cols], schema=target, preserve_index=False
+        )
 
     # final-stage sizing by MEASURED partial volume (the partials are
     # the pre-aggregated small side, so materializing them is cheap):
@@ -226,27 +254,24 @@ def _group_by(ds, spec: GroupBy) -> pd.DataFrame:
     # a high-cardinality key keeps a parallel final stage. Keys are
     # re-bucketed by hash so each map_groups call merges a whole
     # BUCKET of groups vectorized (not one Python call per group).
-    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     nparts = _final_partition_count(partials.count())
 
-    def add_kb(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__kb"] = (
-            pd.util.hash_array(b[gcol].to_numpy()) % np.uint64(nparts)
+    def add_kb(t: pa.Table) -> pa.Table:
+        kb = (
+            pd.util.hash_array(t[gcol].to_numpy(zero_copy_only=False))
+            % np.uint64(nparts)
         ).astype(np.int64)
-        return b
-
-    def final_group(g: pd.DataFrame) -> pd.DataFrame:
-        return final_bucket(g.drop(columns="__kb"))
+        return t.append_column("__kb", pa.array(kb))
 
     result = (
-        partials.map_batches(add_kb, batch_format="pandas")
+        partials.map_batches(add_kb, batch_format="pyarrow")
         # ≥ ~4 buckets per reduce partition (joins.py sizing): more
         # blocks than populated buckets would leave reduce partitions
         # empty (schema-less RefBundles)
         .repartition(max(1, nparts // 4))
         .groupby("__kb")
-        .map_groups(final_group, batch_format="pandas")
+        .map_groups(final_group, batch_format="pyarrow")
     )
     df = result.to_pandas()
     return df.sort_values(gcol).reset_index(drop=True)
