@@ -140,3 +140,100 @@ def test_vector_clock_on_flattened(nested_idx):
     for _, row in res.iterrows():
         assert row["count"] == want.loc[row["value.author"], "count"]
         assert row["first.value.sequence"] == want.loc[row["value.author"], "max"]
+
+
+def test_nested_parquet_build_multivalue(ray_session, tmp_path):
+    """Nested parquet straight through the FILE build (auto-flatten in
+    partials._one_unit): list<struct> text is multi-value TEXT (union
+    of per-element tokens, dl = token sum), list<struct> numbers are
+    multi-value NUMBER, struct keywords resolve by dotted path."""
+    import pyarrow.parquet as pq
+
+    from yaii_ray.build import build_index
+    from yaii_ray.config import KIND_TEXT
+
+    texts = [
+        "merge the batch window",
+        "sort and filter rows",
+        "merge sort join",
+        "tiny doc",
+    ]
+    srcs = ["src5", "src5", "src7", "src5"]
+    langs = ["en", "fr", "en", "en"]
+    nested = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "meta": pa.StructArray.from_arrays(
+                [
+                    pa.array(srcs),
+                    pa.array(langs),
+                    pa.array([100, 200, 300, 10], type=pa.int64()),
+                ],
+                names=["source", "lang", "n_chars"],
+            ),
+            "turns": pa.array(
+                [
+                    [{"idx": 0, "text": t}, {"idx": 1, "text": "reply " + s}]
+                    for t, s in zip(texts, srcs)
+                ],
+                type=pa.list_(
+                    pa.struct([("idx", pa.int64()), ("text", pa.string())])
+                ),
+            ),
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(nested, str(src / "nested.parquet"))
+    cfg = IndexConfig(
+        fields={
+            "doc_id": FieldConfig(
+                flags=Flags.IGNORED, kind=KIND_NUMBER, add_to_all=False
+            ),
+            "turns.text": FieldConfig(
+                kind=KIND_TEXT, analyzer="standard_stop", scored=True,
+                add_to_all=False,
+            ),
+            "turns.idx": FieldConfig(kind=KIND_NUMBER, add_to_all=False),
+            "meta.source": FieldConfig(kind=KIND_KEYWORD, add_to_all=False),
+            "meta.lang": FieldConfig(kind=KIND_KEYWORD, add_to_all=False),
+            "meta.n_chars": FieldConfig(kind=KIND_NUMBER, add_to_all=False),
+        },
+        all_field=False,
+        num_shards=2,
+    )
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, cfg)
+    idx = Index(out)
+    try:
+        # cross-element AND: 'merge' from turn 0, 'src5' from turn 1
+        got = idx.resolve(
+            dsl.and_query(
+                dsl.token("merge", "turns.text"), dsl.token("src5", "turns.text")
+            )
+        )
+        assert got.tolist() == [0]
+        # nested keyword + nested number range
+        got = idx.resolve(
+            dsl.and_query(
+                dsl.token("merge", "turns.text"), dsl.token("en", "meta.lang")
+            )
+        )
+        assert got.tolist() == [0, 2]
+        assert idx.resolve(dsl.number_range("meta.n_chars", 50, 250)).tolist() == [0, 1]
+        # multi-value number: every doc has turns.idx values {0, 1}
+        assert idx.resolve(dsl.number(1, "turns.idx")).tolist() == [0, 1, 2, 3]
+        # BM25 over the multi-value field: dl = summed token counts
+        res = idx.search("merge window", field="turns.text", k=4)
+        assert res["doc_id"].to_pylist()[0] == 0
+        # dotted projection returns the stored nested-path columns
+        proj = idx.project(
+            np.array([0, 2], dtype=np.uint64), ["meta.source", "turns.text"]
+        ).to_pandas()
+        assert proj["meta.source"].tolist() == ["src5", "src7"]
+        assert [list(x) for x in proj["turns.text"]] == [
+            ["merge the batch window", "reply src5"],
+            ["merge sort join", "reply src7"],
+        ]
+    finally:
+        idx.close()

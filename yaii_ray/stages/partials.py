@@ -166,6 +166,19 @@ class BuildPartials:
             if not (cfg.resolve(c).flags & Flags.IGNORED)
         ]
         table = pf.read_row_groups(list(range(rg_lo, rg_hi)), columns=wanted)
+        if any(
+            pa.types.is_struct(t)
+            or ((pa.types.is_list(t) or pa.types.is_large_list(t))
+                and pa.types.is_struct(t.value_type))
+            for t in table.schema.types
+        ):
+            # nested input (M1): dotted-path columns from here on —
+            # config fields, postings keys, stored docs columns and
+            # dl_* sidecars all use the flattened names. Column
+            # pruning above is top-level only for nested inputs.
+            from yaii_ray.stages.flatten import flatten_batch
+
+            table = flatten_batch(table)
         n = table.num_rows
         doc_ids = (doc_base + np.arange(n, dtype=np.uint64)).astype(np.uint64)
 

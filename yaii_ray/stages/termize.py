@@ -120,8 +120,15 @@ def _column_tokens(
     # value-type routing for default-configured fields (reference
     # valueTermizer, base-inverted-index.ts:170-218): a non-string
     # column under the default TEXT config is termized by its type
+    def _is_str_list(t: pa.DataType) -> bool:
+        return (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+            pa.types.is_string(t.value_type) or pa.types.is_large_string(t.value_type)
+        )
+
     if kind == KIND_TEXT and not (
-        pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        pa.types.is_string(col.type)
+        or pa.types.is_large_string(col.type)
+        or _is_str_list(col.type)
     ):
         if pa.types.is_boolean(col.type):
             kind = KIND_BOOL
@@ -133,6 +140,29 @@ def _column_tokens(
             kind = KIND_NUMBER
         else:
             kind = KIND_KEYWORD
+    if kind in (KIND_TEXT, KIND_NUMBER, KIND_BOOL) and (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ):
+        # multi-value field (flattened list<struct> path, e.g.
+        # "turns.text"/"turns.idx"): termize the flat values once via
+        # recursion, then roll per-value term counts up to per-doc
+        # counts — a doc's values are consecutive, so dl is the
+        # per-doc sum (reference merges array-of-objects per path,
+        # utils.ts:75-103, then termizes each element)
+        raw_off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_off = raw_off - raw_off[0]
+        # slice .values by the raw offsets (NOT .flatten(), which drops
+        # null slots and would misalign the per-doc rollup)
+        values = col.values.slice(raw_off[0], raw_off[-1] - raw_off[0])
+        flat, per_val, dl_val = _column_tokens(values, kind, analyzer_name)
+        cum = np.concatenate([[0], np.cumsum(per_val, dtype=np.int64)])
+        counts = cum[doc_off[1:]] - cum[doc_off[:-1]]
+        if dl_val is not None:
+            dcum = np.concatenate([[0], np.cumsum(dl_val, dtype=np.int64)])
+            dl = dcum[doc_off[1:]] - dcum[doc_off[:-1]]
+        else:
+            dl = None
+        return flat, counts, dl
     if kind == KIND_TEXT:
         toks = get_analyzer(analyzer_name)(col)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
