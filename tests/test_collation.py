@@ -103,3 +103,115 @@ def test_collated_sort_null_semantics():
     assert asc["v"].to_pylist() == [2, 3, 4, 1]
     desc = sort_table(t, [dsl.SortClause("k", dsl.DESC, collation="base")])
     assert desc["v"].to_pylist() == [1, 3, 4, 2]
+
+
+def test_ducet_primary_key_classes():
+    """collation='icu' (analysis/collate.py): DUCET class order and the
+    foldings NFKD+casefold alone cannot produce."""
+    from yaii_ray.analysis.collate import ducet_primary_key as k
+
+    # class order: whitespace < punctuation < digits < letters
+    assert k(" ") < k("-") < k("[") < k("0") < k("a")
+    # codepoint order gets BOTH of these wrong ('Z' < 'a' < '[' there)
+    assert k("Z") > k("a")
+    assert k("[") < k("a")
+    # primary equality: case + accents + DUCET foldings
+    assert k("Äpfel") == k("apfel") == k("APFEL")
+    assert k("æble") == k("aeble")
+    assert k("œuf") == k("oeuf")
+    assert k("øre") == k("ore")
+    assert k("Straße") == k("strasse")
+    # own primaries positioned per DUCET
+    assert k("t") < k("þ") < k("u")
+    assert k("n") < k("ŋ") < k("o")
+    # completely-ignorable characters
+    assert k("co­op") == k("coop")
+    # beyond-subset fallback keeps script blocks above Latin
+    assert k("z") < k("α") < k("я")
+
+
+def test_icu_collated_sort_table():
+    """sort_table(collation='icu') orders by DUCET classes; 'base' and
+    codepoint both misplace the bracket row and the æ/ø rows."""
+    rows = [
+        "banana",
+        "Apple",
+        "[bracket]",
+        "42nd",
+        "æble",      # æble -> aeble
+        "Zebra",
+        "øre",       # øre -> ore
+        "apple pie",
+    ]
+    t = pa.table({"k": rows, "v": list(range(len(rows)))})
+    got = sort_table(t, [dsl.SortClause("k", dsl.ASC, collation="icu")])
+    assert got["k"].to_pylist() == [
+        "[bracket]",
+        "42nd",
+        "æble",
+        "Apple",
+        "apple pie",
+        "banana",
+        "øre",
+        "Zebra",
+    ]
+    # the 'base' approximation leaves æ/ø at codepoint positions
+    # (after z) and sorts digits before punctuation
+    base = sort_table(t, [dsl.SortClause("k", dsl.ASC, collation="base")])
+    assert base["k"].to_pylist() == [
+        "42nd",
+        "[bracket]",
+        "Apple",
+        "apple pie",
+        "banana",
+        "Zebra",
+        "æble",
+        "øre",
+    ]
+
+
+def test_icu_collated_index_query(ray_session, tmp_path):
+    """K3 end-to-end with collation='icu': the reference system-test
+    sort shape (test-index.ts:76-106 sortedQuery over token_data) on a
+    corpus whose order differs under codepoint, base and icu."""
+    t = pa.table(
+        {
+            "id": ["1", "2", "3", "4", "5", "6"],
+            "token_data": [
+                ["banana"],
+                ["æble"],
+                ["Apple"],
+                ["[x]"],
+                ["øre"],
+                ["zebra"],
+            ],
+        }
+    )
+    cfg = IndexConfig(
+        fields={
+            "id": FieldConfig(flags=Flags.STORED, kind=KIND_KEYWORD),
+            "token_data": FieldConfig(
+                flags=Flags.SEARCHABLE | Flags.STORED, kind=KIND_KEYWORD
+            ),
+        },
+        num_shards=1,
+    )
+    out = str(tmp_path / "idx")
+    build_index_from_table(t, out, cfg)
+    idx = Index(out)
+    try:
+        got = idx.query(
+            dsl.all_query(),
+            sort=[dsl.SortClause("token_data", dsl.ASC, collation="icu")],
+            columns=["id"],
+        )
+        # [x] < æble(aeble) < Apple < banana < øre(ore) < zebra
+        assert got["id"].to_pylist() == ["4", "2", "3", "1", "5", "6"]
+        desc = idx.query(
+            dsl.all_query(),
+            sort=[dsl.SortClause("token_data", dsl.DESC, collation="icu")],
+            columns=["id"],
+        )
+        assert desc["id"].to_pylist() == ["6", "5", "1", "3", "2", "4"]
+    finally:
+        idx.close()

@@ -485,9 +485,19 @@ def sort_pandas(df, clauses: list[dsl.SortClause]):
         vals = df[cl.field]
         if vals.dtype == object:
             vals = vals.map(_sort_value)
-            if getattr(cl, "collation", None) == "base":
+            collation = getattr(cl, "collation", None)
+            if collation == "base":
                 vals = vals.map(
                     lambda v: collation_base_key(v) if isinstance(v, str) else v
+                )
+            elif collation == "icu":
+                # exact DUCET-subset primary order (punctuation /
+                # symbol / digit / letter classes, æ/œ/ø/ß foldings) —
+                # see analysis/collate.py for the covered subset
+                from yaii_ray.analysis.collate import ducet_primary_key
+
+                vals = vals.map(
+                    lambda v: ducet_primary_key(v) if isinstance(v, str) else v
                 )
             col = "__collation_key__"
             df = df.assign(**{col: vals})

@@ -127,7 +127,10 @@ class SortClause:
     sensitivity:'base', caseFirst:'lower')`` (utils.ts:41-47): case
     and accents are ignored for ordering, and base-equal strings keep
     stable input order (at 'base' sensitivity the ICU comparator
-    returns 0 for them, and the reference's sort is stable)."""
+    returns 0 for them, and the reference's sort is stable).
+    ``"icu"`` is the exact option: DUCET-subset primary weights
+    (analysis/collate.py) — punctuation/symbol/digit/letter class
+    order and the æ/œ/ø/ß foldings that NFKD alone misses."""
 
     field: str
     dir: str = ASC
