@@ -164,3 +164,30 @@ def test_group_by_high_cardinality_parallel_final(ray_session):
         got["first.rid"].to_numpy()
         == want_first["rid"].reindex(got.index).to_numpy()
     ).all()
+
+
+def test_term_and_numeric_buckets(built):
+    """G5 sugar (bucket-query.ts:8-30): TermBuckets == GROUP_BY(term),
+    NumericBuckets groups by floor(v/size)*size with range-start
+    labels; both checked against pandas recomputation."""
+    from yaii_ray.aggs import NumericBuckets, TermBuckets
+
+    idx, df = built
+    res = idx.aggregate(
+        dsl.token("user", "role"),
+        [
+            TermBuckets("conv_id"),
+            NumericBuckets("turn_idx", 4),
+        ],
+    )
+    sub = df[df["role"] == "user"]
+
+    tb = res["term_buckets"].set_index("bucket")["count"]
+    want_tb = sub.groupby("conv_id").size()
+    assert tb.to_dict() == want_tb.to_dict()
+
+    nb = res["numeric_buckets"].set_index("bucket")["count"]
+    want_nb = sub.groupby((sub["turn_idx"] // 4) * 4).size()
+    assert nb.to_dict() == want_nb.to_dict()
+    # integer field + integer width -> integer bucket labels
+    assert all(isinstance(b, (int, np.integer)) for b in nb.index)

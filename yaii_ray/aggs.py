@@ -69,6 +69,31 @@ class GroupBy(Agg):
     name: str = "group_by"
 
 
+@dataclass(frozen=True)
+class TermBuckets(Agg):
+    """G5 — one bucket per distinct term (reference
+    ``src/lib/api/bucket-query.ts:8-12,25-30``, an API surface with no
+    executor upstream). Sugar for GROUP_BY(field); the result column
+    is named ``bucket``."""
+
+    field: str
+    aggs: tuple = dc_field(default_factory=tuple)
+    name: str = "term_buckets"
+
+
+@dataclass(frozen=True)
+class NumericBuckets(Agg):
+    """G5 — fixed-width numeric buckets (``bucket-query.ts:14-18``):
+    ``bucket = floor(value / bucket_size) * bucket_size`` (the range
+    start labels the bucket). Desugars to GROUP_BY over the derived
+    key — a pure map-side column, no extra shuffle."""
+
+    field: str
+    bucket_size: float
+    aggs: tuple = dc_field(default_factory=tuple)
+    name: str = "numeric_buckets"
+
+
 def _reverse(sort: tuple) -> tuple:
     return tuple(
         dsl.SortClause(c.field, dsl.DESC if c.dir == dsl.ASC else dsl.ASC)
@@ -92,7 +117,7 @@ def _needed_columns(aggs: list[Agg]) -> set[str]:
     for a in aggs:
         if isinstance(a, (First, Last)):
             cols |= {c.field for c in a.sort} | set(a.project)
-        elif isinstance(a, GroupBy):
+        elif isinstance(a, (GroupBy, TermBuckets, NumericBuckets)):
             cols.add(a.field)
             cols |= _needed_columns(list(a.aggs))
     return cols
@@ -141,7 +166,33 @@ def aggregate(index, filter: dsl.Query, aggs: list[Agg]) -> dict[str, Any]:
                 out[a.name] = None
         elif isinstance(a, GroupBy):
             out[a.name] = _group_by(ds, a)
+        elif isinstance(a, TermBuckets):
+            res = _group_by(ds, GroupBy(a.field, a.aggs))
+            out[a.name] = res.rename(columns={a.field: "bucket"})
+        elif isinstance(a, NumericBuckets):
+            out[a.name] = _group_by(
+                _with_bucket_column(ds, a.field, a.bucket_size),
+                GroupBy("bucket", a.aggs),
+            )
     return out
+
+
+def _with_bucket_column(ds, field: str, width: float):
+    """Append ``bucket = floor(field / width) * width`` (Arrow map —
+    integer arithmetic when both sides are integral, so int fields get
+    int bucket labels)."""
+    int_width = float(width).is_integer()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        x = t[field].to_numpy(zero_copy_only=False)
+        if int_width and np.issubdtype(x.dtype, np.integer):
+            w = np.int64(int(width))
+            b = (x.astype(np.int64) // w) * w
+        else:
+            b = np.floor(x.astype(np.float64) / width) * width
+        return t.append_column("bucket", pa.array(b))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
 def _final_partition_count(n_partial_rows: int, rows_per_partition: int = 65536) -> int:
