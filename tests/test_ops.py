@@ -1513,3 +1513,43 @@ def test_bucketed_candidate_pairs_parity_and_scale(ray_session):
     assert len(out) == nb
     assert (out["b"] - out["a"] == 1).all()
     assert time.monotonic() - t0 < 30, "per-bucket Python loop regression"
+
+
+def test_segment_all_pairs_fuzz():
+    """Pure-numpy fuzz of the vectorized pair-emission kernel against
+    a per-segment reference loop (edge cases: empty input, all
+    singletons, interleaved empty prefixes in _concat_aranges)."""
+    from yaii_ray.ops.dedup import _concat_aranges, segment_all_pairs
+
+    a, b = segment_all_pairs(np.array([], dtype=np.int64), np.array([], dtype=bool))
+    assert a.size == b.size == 0
+    a, b = segment_all_pairs(
+        np.array([5, 7, 9], dtype=np.int64), np.array([True, True, True])
+    )
+    assert a.size == 0
+    out = _concat_aranges(
+        np.array([3, 9, 100], dtype=np.int64), np.array([2, 0, 3], dtype=np.int64)
+    )
+    assert out.tolist() == [3, 4, 100, 101, 102]
+
+    rng = np.random.default_rng(0)
+    for trial in range(100):
+        nseg = rng.integers(1, 20)
+        sizes = rng.integers(1, 8, size=nseg)
+        ids_l, seg_l = [], []
+        for s in sizes:
+            vals = np.sort(rng.choice(1000, size=s, replace=False))
+            ids_l.extend(vals.tolist())
+            seg_l.extend([True] + [False] * (s - 1))
+        ids = np.array(ids_l, dtype=np.int64)
+        seg = np.array(seg_l)
+        a, b = segment_all_pairs(ids, seg)
+        want = []
+        pos = 0
+        for s in sizes:
+            grp = ids[pos : pos + s]
+            for i in range(int(s)):
+                for j in range(i + 1, int(s)):
+                    want.append((int(grp[i]), int(grp[j])))
+            pos += int(s)
+        assert sorted(zip(a.tolist(), b.tolist())) == sorted(want), trial

@@ -276,7 +276,8 @@ def segment_all_pairs(ids: np.ndarray, seg_new: np.ndarray):
 
 
 def bucketed_candidate_pairs(rows_ds, bucket_keys: list[str],
-                             id_col: str = "doc_id", nbuckets: int = 64):
+                             id_col: str = "doc_id", nbuckets: int = 64,
+                             final_partitions: int | None = None):
     """(bucket-key..., id) rows -> candidate (a, b) pair Dataset.
     Scale shape (VERDICT r4 #2): the shuffle groups by ``__cb =
     hash(bucket_keys) % nbuckets`` (bounded cardinality — NOT one
@@ -284,7 +285,18 @@ def bucketed_candidate_pairs(rows_ds, bucket_keys: list[str],
     each reduce call emits pairs for ALL its buckets in one Arrow
     lexsort + :func:`segment_all_pairs` pass. Duplicate (bucket, id)
     rows (same shingle repeated in a doc) are masked pre-emission;
-    cross-bucket duplicate pairs are deduped downstream as before."""
+    cross-bucket duplicate pairs are deduped downstream as before.
+
+    ``final_partitions`` sizes the reduce side (default
+    ``max(1, nbuckets // 16)`` — the dedup_exact rule: block count must
+    not exceed populated __cb groups or Ray emits schema-less empty
+    RefBundles; scale callers who raise nbuckets get a proportionally
+    parallel reduce)."""
+    nparts = (
+        final_partitions
+        if final_partitions is not None
+        else max(1, nbuckets // 16)
+    )
 
     def add_cb(t: pa.Table) -> pa.Table:
         acc = np.zeros(t.num_rows, dtype=np.uint64)
@@ -320,7 +332,7 @@ def bucketed_candidate_pairs(rows_ds, bucket_keys: list[str],
 
     return (
         rows_ds.map_batches(add_cb, batch_format="pyarrow")
-        .repartition(max(2, nbuckets // 4))
+        .repartition(nparts)
         .groupby("__cb")
         .map_groups(emit, batch_format="pyarrow")
     )
