@@ -215,3 +215,54 @@ def test_icu_collated_index_query(ray_session, tmp_path):
         assert desc["id"].to_pylist() == ["6", "5", "1", "3", "2", "4"]
     finally:
         idx.close()
+
+
+def test_collated_first_last_aggregate(ray_session, tmp_path):
+    """The reference builds the SAME collator-aware comparator for
+    aggregates as for sorted queries (base-inverted-index.ts:606-659
+    used by TopAccumulator) — First/Last honor SortClause collation."""
+    from yaii_ray.aggs import First, Last
+
+    t = pa.table(
+        {
+            "id": ["1", "2", "3", "4"],
+            "token_data": [["banana"], ["æble"], ["Apple"], ["zebra"]],
+        }
+    )
+    cfg = IndexConfig(
+        fields={
+            "id": FieldConfig(flags=Flags.STORED, kind=KIND_KEYWORD),
+            "token_data": FieldConfig(
+                flags=Flags.SEARCHABLE | Flags.STORED, kind=KIND_KEYWORD
+            ),
+        },
+        num_shards=1,
+    )
+    out = str(tmp_path / "idx")
+    build_index_from_table(t, out, cfg)
+    idx = Index(out)
+    try:
+        res = idx.aggregate(
+            dsl.all_query(),
+            [
+                First(
+                    (dsl.SortClause("token_data", dsl.ASC, collation="icu"),),
+                    project=("id",),
+                ),
+                Last(
+                    (dsl.SortClause("token_data", dsl.ASC, collation="icu"),),
+                    project=("id",),
+                ),
+            ],
+        )
+        # icu: æble(aeble) < Apple < banana < zebra
+        assert res["first"]["id"] == "2"
+        assert res["last"]["id"] == "4"
+        # codepoint order would instead pick 'Apple' (uppercase A) first
+        plain = idx.aggregate(
+            dsl.all_query(),
+            [First((dsl.SortClause("token_data", dsl.ASC),), project=("id",))],
+        )
+        assert plain["first"]["id"] == "3"
+    finally:
+        idx.close()

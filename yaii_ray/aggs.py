@@ -96,20 +96,26 @@ class NumericBuckets(Agg):
 
 def _reverse(sort: tuple) -> tuple:
     return tuple(
-        dsl.SortClause(c.field, dsl.DESC if c.dir == dsl.ASC else dsl.ASC)
+        dsl.SortClause(
+            c.field,
+            dsl.DESC if c.dir == dsl.ASC else dsl.ASC,
+            collation=getattr(c, "collation", None),
+        )
         for c in sort
     )
 
 
 def _sort_df(df: pd.DataFrame, sort: tuple) -> pd.DataFrame:
-    for cl in reversed(sort):
-        df = df.sort_values(
-            cl.field,
-            ascending=(cl.dir == dsl.ASC),
-            na_position=("first" if cl.dir == dsl.ASC else "last"),
-            kind="stable",
-        )
-    return df
+    """Comparator used by First/Last winners — the reference builds
+    the SAME comparator for aggregates as for sorted queries
+    (buildComparatorAndProjections, base-inverted-index.ts:606-659),
+    so delegate to engine.sort_pandas: stable multi-clause order,
+    undefined-first null semantics, multi-value first-element
+    operands, and SortClause collation ('base'/'icu') all apply to
+    aggregate sort clauses too."""
+    from yaii_ray.engine import sort_pandas  # lazy: engine imports aggs
+
+    return sort_pandas(df, list(sort))
 
 
 def _needed_columns(aggs: list[Agg]) -> set[str]:
