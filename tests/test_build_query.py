@@ -104,6 +104,56 @@ def test_keyword_and_presence(built):
     assert got.tolist() == want
 
 
+def test_token_range_and_text_contains(built):
+    """Q15 — declared-but-throwing upstream (query-ir.ts:220-223);
+    implemented here over the sorted term dictionary. Oracle: python
+    re-tokenization + codepoint comparison / substring test."""
+    idx, src = built
+    from yaii_ray.analysis.tokenizer import tokenize_string
+
+    tok_sets = [set(tokenize_string(t, stopwords=True)) for t in src["text"].to_pylist()]
+    vocab = sorted({t for s in tok_sets for t in s})
+    lo, hi = vocab[len(vocab) // 3], vocab[2 * len(vocab) // 3]
+
+    for mini, maxi in [(True, False), (True, True), (False, False), (False, True)]:
+        got = idx.resolve(
+            dsl.token_range("text", min=lo, max=hi, min_inclusive=mini, max_inclusive=maxi)
+        )
+        def keep(t):
+            okl = t >= lo if mini else t > lo
+            okh = t <= hi if maxi else t < hi
+            return okl and okh
+        want = [i for i, s in enumerate(tok_sets) if any(keep(t) for t in s)]
+        assert got.tolist() == want, (mini, maxi)
+
+    # unbounded above; then the empty range
+    got = idx.resolve(dsl.token_range("text", min=hi))
+    want = [i for i, s in enumerate(tok_sets) if any(t >= hi for t in s)]
+    assert got.tolist() == want
+    assert idx.resolve(dsl.token_range("text", min=hi, max=lo)).size == 0
+
+    # substring over dictionary tokens (pick a needle hitting >1 term)
+    needle = next(t[1:-1] for t in vocab if len(t) >= 4)
+    matching = {t for t in vocab if needle in t}
+    assert len(matching) >= 1
+    got = idx.resolve(dsl.text_contains(needle, "text"))
+    want = [i for i, s in enumerate(tok_sets) if s & matching]
+    assert got.tolist() == want
+
+    # composes with boolean algebra + empty needle = any-token
+    got = idx.resolve(
+        dsl.and_query(dsl.text_contains(needle, "text"), dsl.token("assistant", "role"))
+    )
+    roles = src["role"].to_pylist()
+    want = [i for i, s in enumerate(tok_sets) if s & matching and roles[i] == "assistant"]
+    assert got.tolist() == want
+    got = idx.resolve(dsl.text_contains("", "text"))
+    want = [i for i, s in enumerate(tok_sets) if s]
+    assert got.tolist() == want
+    # no-match needle
+    assert idx.resolve(dsl.text_contains("\x01zz\x01", "text")).size == 0
+
+
 def test_number_queries(built):
     idx, src = built
     turn = src["turn_idx"].to_pylist()

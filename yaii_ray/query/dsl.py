@@ -48,6 +48,41 @@ class Present(Query):
 
 
 @dataclass(frozen=True)
+class TokenRange(Query):
+    """All docs having any indexed token t with min <= t <= / < max in
+    ``field`` (codepoint order over analyzed tokens).
+
+    The reference DECLARES this node (``src/lib/api/base.ts:64-67``)
+    but its planner throws 'Not yet implemented'
+    (``query-ir.ts:220-223``) — implemented here (EXCEEDS reference)
+    as a sorted term-dictionary range scan, the same machinery that
+    backs NumberRange. Bounds are compared against tokens as indexed
+    (i.e. post-analysis; pass lowercase bounds for lowercasing
+    analyzers), mirroring ``Token``'s raw-value contract."""
+
+    field: str | None = None  # None -> _all
+    min: str = ""
+    max: str | None = None  # None -> unbounded above
+    min_inclusive: bool = True
+    max_inclusive: bool = False
+
+
+@dataclass(frozen=True)
+class TextContains(Query):
+    """All docs having any indexed token that contains ``text`` as a
+    literal substring in ``field``.
+
+    Declared-but-throwing upstream like TokenRange (``api/base.ts:64-67``,
+    ``query-ir.ts:220-223``) — implemented here (EXCEEDS reference) as
+    a vectorized substring scan over the shard's sorted term
+    dictionary followed by an OR of the matching terms' postings.
+    ``text`` is matched against tokens as indexed (post-analysis)."""
+
+    text: str
+    field: str | None = None  # None -> _all
+
+
+@dataclass(frozen=True)
 class And(Query):
     operands: tuple
 
@@ -88,6 +123,20 @@ def number_range(
 
 def present(field: str) -> Present:
     return Present(field)
+
+
+def token_range(
+    field: str | None = None,
+    min: str = "",
+    max: str | None = None,
+    min_inclusive: bool = True,
+    max_inclusive: bool = False,
+) -> TokenRange:
+    return TokenRange(field, min, max, min_inclusive, max_inclusive)
+
+
+def text_contains(text: str, field: str | None = None) -> TextContains:
+    return TextContains(text, field)
 
 
 def and_query(*operands: Query) -> And:

@@ -103,6 +103,36 @@ class TermRangeExp(Exp):
         return hash((self.field, self.lo, self.hi))
 
 
+class TermContainsExp(Exp):
+    """All docs having any STRING term in ``field`` whose token part
+    contains ``needle`` as a literal substring.
+
+    Resolved per shard by a vectorized ``match_substring`` over the
+    field's contiguous string-term slice of the sorted dictionary
+    (string terms share the ``'0'`` type prefix, analysis/terms.py, so
+    the slice is one bisect span), then an OR of matching postings.
+    Backs dsl.TextContains — declared-but-throwing upstream
+    (``query-ir.ts:220-223``)."""
+
+    __slots__ = ("field", "needle")
+
+    def __init__(self, field: str, needle: str):
+        self.field = field
+        self.needle = needle
+
+    def __repr__(self):
+        return f"{self.field}:*{self.needle}*"
+
+    def __eq__(self, other):
+        return isinstance(other, TermContainsExp) and (
+            self.field,
+            self.needle,
+        ) == (other.field, other.needle)
+
+    def __hash__(self):
+        return hash(("CONTAINS", self.field, self.needle))
+
+
 class CachedExp(Exp):
     """Named sub-expression; shards memoize its resolved doc set
     (reference ``£_FILTER_CACHE`` / cached-filter.ts:10-41)."""
@@ -312,4 +342,34 @@ def _build(query: dsl.Query) -> Exp:
         if len(shoulds) == 1:
             return shoulds[0]
         return BoolExp(should=shoulds)
+    if isinstance(query, dsl.TokenRange):
+        # string terms are '0'+token (analysis/terms.py PREFIX_STRING),
+        # so token order == term order inside the half-open key range
+        # ['0', '1'); inclusivity maps to '\x00' suffix nudges because
+        # '\x00' is the smallest codepoint (no token extends a token by
+        # less).
+        f = _field_or_all(query.field)
+        lo = T.PREFIX_STRING + query.min
+        if not query.min_inclusive:
+            lo += "\x00"
+        if query.max is None:
+            hi = _STRING_TERMS_END
+        else:
+            hi = T.PREFIX_STRING + query.max
+            if query.max_inclusive:
+                hi += "\x00"
+        if lo >= hi:
+            return NONE_EXP
+        return TermRangeExp(f, lo, hi)
+    if isinstance(query, dsl.TextContains):
+        f = _field_or_all(query.field)
+        if query.text == "":
+            # every token contains "" — any doc with >=1 string token
+            return TermRangeExp(f, T.PREFIX_STRING, _STRING_TERMS_END)
+        return TermContainsExp(f, query.text)
     raise NotImplementedError(f"query type {type(query).__name__}")
+
+
+# exclusive upper bound over the string-term key space: the next type
+# prefix after PREFIX_STRING ('0' -> '1', analysis/terms.py:30-32)
+_STRING_TERMS_END = chr(ord(T.PREFIX_STRING) + 1)

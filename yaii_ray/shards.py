@@ -113,6 +113,25 @@ class PostingsResolver:
             )
             docs = self._concat_rows(range(lo, hi))[0]
             return np.unique(docs)
+        if isinstance(exp, ir.TermContainsExp):
+            # contiguous string-term slice of the sorted dictionary
+            # (all string terms share the '0' prefix), then one
+            # vectorized literal-substring kernel over the token parts
+            prefix = exp.field + KEY_SEP + "0"
+            lo, hi = self._key_range_span(prefix, exp.field + KEY_SEP + "1")
+            if hi <= lo:
+                return np.zeros(0, dtype=np.uint64)
+            import pyarrow.compute as pc
+
+            toks = pc.utf8_slice_codeunits(
+                pa.array(list(self.keys[lo:hi]), type=pa.string()),
+                start=len(prefix),
+            )
+            rows = np.flatnonzero(
+                pc.match_substring(toks, exp.needle).to_numpy(zero_copy_only=False)
+            )
+            docs = self._concat_rows((lo + int(r) for r in rows))[0]
+            return np.unique(docs)
         if isinstance(exp, ir.BoolExp):
             must_sets = [self.resolve(e) for e in exp.must]
             should_sets = [self.resolve(e) for e in exp.should]
