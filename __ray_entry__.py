@@ -67,6 +67,33 @@ def _ids_table(doc_ids: np.ndarray) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_ids.astype(np.int64), type=pa.int64())})
 
 
+def _del_docs_index(sf_dir: str):
+    """Build-once documents index with TOMBSTONES applied (Q14): every
+    doc with source in {src3, src7} is deleted via Index.delete().
+    Separate cache dir from _docs_index — deletes are stateful. The
+    delete is applied exactly once (deleted_count() guards reruns)."""
+    from yaii_ray.build import build_index
+    from yaii_ray.config import documents_config
+    from yaii_ray.engine import Index
+    from yaii_ray.query import dsl
+
+    cfg = documents_config(num_shards=4)
+    key = os.path.normpath(sf_dir) + "::deleted"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = key.strip("/").replace("/", "_").replace(":", "_")
+    out = f"/tmp/yaii_idx_cache/documents_del_{tag}_{cfg.fingerprint()}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg)
+    idx = Index(out)
+    if idx.deleted_count() == 0:
+        idx.delete(
+            dsl.or_query(dsl.token("src3", "source"), dsl.token("src7", "source"))
+        )
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
 def _nested_docs_path(sf_dir: str) -> str:
     """``documents`` re-shaped into a NESTED table — ``meta`` struct
     {source, lang, n_chars} + ``turns`` list<struct{idx, text}> with
@@ -329,6 +356,34 @@ def _q_number_range(sf_dir: str) -> pa.Table:
     idx = _docs_index(sf_dir)
     ids = idx.resolve(dsl.number_range("n_chars", min=200, max=400))
     return _ids_table(ids)
+
+
+def _q_delete_mask_count(sf_dir: str) -> pa.Table:
+    """Q14 deleted mask — reference removeDeletedAndAddedAfter
+    (utils.ts:196-220): tombstoned docs (source src3/src7) stop
+    matching every query immediately; here a boolean count."""
+    from yaii_ray.query import dsl
+
+    idx = _del_docs_index(sf_dir)
+    n = idx.count(dsl.token("merge", "text"))
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+def _q_delete_bm25_top10(sf_dir: str) -> pa.Table:
+    """Q14 under BM25: tombstoned docs are excluded from WAND
+    candidates while global stats (df/N/avgdl) stay frozen until
+    compaction — standard segment-index semantics. The oracle keeps
+    full-corpus stats and restricts candidates by source."""
+    import pyarrow.compute as pc
+
+    idx = _del_docs_index(sf_dir)
+    t = idx.search("merge batch window sort", field="text", k=10)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "score_r": pc.round(t["score"], 6),
+        }
+    )
 
 
 def _q_keyword_filter_count(sf_dir: str) -> pa.Table:
@@ -1340,6 +1395,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "nested_flatten_query": _q_nested_flatten_query,
     "token_range_query": _q_token_range_query,
     "text_contains_query": _q_text_contains_query,
+    "delete_mask_count": _q_delete_mask_count,
+    "delete_bm25_top10": _q_delete_bm25_top10,
     "number_range": _q_number_range,
     "keyword_filter_count": _q_keyword_filter_count,
     "agg_group_by_source": _q_agg_group_by_source,
@@ -1355,7 +1412,6 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hopping_window": _q_hopping_window,
     "dedup_exact": _q_dedup_exact,
     "curate_docs": _q_curate_docs,
-    "curate_decontam": _q_curate_decontam,
     "near_dup_jaccard": _q_near_dup_jaccard,
     "near_dup_minhash_ray": _q_near_dup_minhash_ray,
     "simhash_pairs": _q_simhash_pairs,
@@ -1364,7 +1420,6 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_image_meta": _q_multimodal_image_meta,
-    "multimodal_audio_frames": _q_multimodal_audio_frames,
     "multimodal_video_frames": _q_multimodal_video_frames,
     "quantize_embeddings": _q_quantize_embeddings,
     "embed_cosine_pairs": _q_embed_cosine_pairs,
@@ -1394,10 +1449,18 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     #   ann_ivf_topk/ann_lsh_topk (pruned variants) keep recorded;
     # - near_dup_cluster is the driver-funnel variant of
     #   near_dup_cluster_ray;
+    # - curate_decontam composes curate_docs (recorded) with
+    #   decontam_ngram (recorded) — the composition itself stays
+    #   covered by curate_docs;
+    # - multimodal_audio_frames shares the actor-pool binary-decode
+    #   shape recorded by multimodal_image_meta and
+    #   multimodal_video_frames;
     # - curate_full composes curate_docs + curate_decontam +
     #   pii_redact + sample_stratified, each independently recorded.
     "near_dup_minhash": _q_near_dup_minhash,
     "ann_topk": _q_ann_topk,
+    "curate_decontam": _q_curate_decontam,
+    "multimodal_audio_frames": _q_multimodal_audio_frames,
     "near_dup_cluster": _q_near_dup_cluster,
     "curate_full": _q_curate_full,
 }
@@ -1519,6 +1582,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM tok
             WHERE contains(term, 'er')
             ORDER BY doc_id""",
+        # Q14 twins: docs with source src3/src7 are tombstoned in the
+        # engine; the SQL excludes them from the candidate set. For
+        # BM25 the stats CTEs (n/avgdl/df) stay over the FULL corpus —
+        # the engine freezes stats until compaction purges postings.
+        "delete_mask_count": f"""
+            SELECT count(*) AS n FROM documents
+            WHERE list_contains({_TOKENIZE}, 'merge')
+              AND source NOT IN ('src3', 'src7')""",
+        "delete_bm25_top10": bm25.replace(
+            """SELECT doc_id, round(score, 6) AS score_r
+    FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
+            """SELECT s.doc_id, round(s.score, 6) AS score_r
+    FROM scores s JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ('src3', 'src7')
+    ORDER BY s.score DESC, s.doc_id LIMIT 10""",
+        ),
         "bool_or_not": f"""
             SELECT doc_id FROM documents
             WHERE (list_contains({_TOKENIZE}, 'sort')

@@ -264,13 +264,22 @@ def compact_index(index_dir: str, out_dir: str) -> str:
     from all segments re-shuffled on (shard, bucket) and re-merged by
     :class:`MergeBucket` (which re-sorts per (key, chunk) group —
     boundary chunks shared by adjacent segments fold together). Docs
-    parts are re-linked, not rewritten.
+    parts are re-linked, not rewritten — UNLESS tombstones exist
+    (Q14): then deleted postings are purged inside the merge (the
+    tombstone union broadcast once via ``ray.put``), overlapping docs
+    parts are rewritten without the deleted rows, per-field stats are
+    recomputed exactly from the surviving ``dl_*`` columns, and the
+    output index carries no deletes. Surviving doc ids are NOT
+    renumbered (unit ``rows`` keeps its original id-span semantics so
+    range pruning and continuous-query doc_base stay correct).
     """
     import shutil
 
     manifest = load_manifest(index_dir)
     config = IndexConfig.from_json(manifest["config"])
     cfg_json = manifest["config"]
+    deleted = load_deleted(manifest)
+    deleted_ref = ray.put(deleted) if deleted.size else None
     os.makedirs(out_dir, exist_ok=True)
     seg_name = "seg-000"
     postings_dir = os.path.join(out_dir, "postings", seg_name)
@@ -310,7 +319,10 @@ def compact_index(index_dir: str, out_dir: str) -> str:
         ray.data.read_parquet(posting_files)
         .map_batches(re_key, batch_format="pyarrow")
         .groupby(["shard", "bucket"])
-        .map_groups(MergeBucket(cfg_json, postings_dir), batch_format="pyarrow")
+        .map_groups(
+            MergeBucket(cfg_json, postings_dir, deleted_ref=deleted_ref),
+            batch_format="pyarrow",
+        )
         .groupby("key")
         .sum("df")
         .write_parquet(termstats_dir)
@@ -326,12 +338,53 @@ def compact_index(index_dir: str, out_dir: str) -> str:
     for m in manifest["segments"]:
         for u, p in zip(m["units"], m["docs_files"]):
             dest = docs_part_path_compat(docs_dir, len(docs_files))
-            if os.path.abspath(p) != os.path.abspath(dest):
-                if not os.path.exists(dest):
-                    os.link(p, dest) if _same_fs(p, dest) else shutil.copy2(p, dest)
-                shutil.copy2(p + ".stats.json", dest + ".stats.json")
+            lo, hi = int(u["doc_base"]), int(u["doc_base"]) + int(u["rows"])
+            overlaps = deleted.size and (
+                np.searchsorted(deleted, np.uint64(lo))
+                < np.searchsorted(deleted, np.uint64(hi))
+            )
+            if overlaps:
+                # rewrite the part without the tombstoned rows and
+                # recompute its stats sidecar from the surviving dl_*
+                # columns (exactly the build's formula)
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(p)
+                ids = t["doc_id"].to_numpy()
+                didx = np.searchsorted(deleted, ids)
+                didx[didx == deleted.size] = 0
+                t = t.filter(pa.array(deleted[didx] != ids))
+                tmp = dest + ".tmp"
+                _pq.write_table(t, tmp, compression="zstd")
+                os.replace(tmp, dest)
+                with open(p + ".stats.json") as f:
+                    old_stats = json.load(f)
+                stats = {
+                    "n": int(t.num_rows),
+                    "errors": int(old_stats.get("errors", 0)),
+                    "fields": {
+                        c[3:]: {
+                            "doc_count": int((t[c].to_numpy() > 0).sum()),
+                            "sum_dl": int(t[c].to_numpy().sum()),
+                        }
+                        for c in t.column_names
+                        if c.startswith("dl_")
+                    },
+                }
+                stmp = dest + ".stats.json.tmp"
+                with open(stmp, "w") as f:
+                    json.dump(stats, f)
+                os.replace(stmp, dest + ".stats.json")
+                # "rows" keeps the original id SPAN (range pruning /
+                # next-doc_base semantics); live_rows is informational
+                units.append({**u, "unit": len(units), "live_rows": int(t.num_rows)})
+            else:
+                if os.path.abspath(p) != os.path.abspath(dest):
+                    if not os.path.exists(dest):
+                        os.link(p, dest) if _same_fs(p, dest) else shutil.copy2(p, dest)
+                    shutil.copy2(p + ".stats.json", dest + ".stats.json")
+                units.append({**u, "unit": len(units)})
             docs_files.append(dest)
-            units.append({**u, "unit": len(units)})
 
     seg_manifest = {
         "segment": seg_name,
@@ -349,6 +402,25 @@ def compact_index(index_dir: str, out_dir: str) -> str:
         "termstats_dir": termstats_dir,
         "metrics": {"compacted_from": index_dir},
     }
+    # runtime-attached tombstone keys never serialize; after a purge
+    # the global stats are re-aggregated from the (rewritten) sidecars
+    new_manifest.pop("delete_files", None)
+    new_manifest.pop("deleted_count", None)
+    if deleted.size:
+        stats: dict = {"N": 0, "fields": {}, "dropped_rows": 0}
+        for p in docs_files:
+            with open(p + ".stats.json") as f:
+                s = json.load(f)
+            stats["N"] += s["n"]
+            stats["dropped_rows"] += s.get("errors", 0)
+            for fname, fs in s["fields"].items():
+                agg = stats["fields"].setdefault(
+                    fname, {"doc_count": 0, "sum_dl": 0}
+                )
+                agg["doc_count"] += fs["doc_count"]
+                agg["sum_dl"] += fs["sum_dl"]
+        new_manifest["stats"] = stats
+        new_manifest["metrics"]["purged_docs"] = int(deleted.size)
     _atomic_json(new_manifest, os.path.join(out_dir, "manifest.json"))
     return out_dir
 
@@ -382,4 +454,32 @@ def build_index_from_table(
 
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
-        return json.load(f)
+        manifest = json.load(f)
+    # tombstones (Q14): deletes.json lists delete files appended by
+    # Index.delete() after the build — attach absolute paths so shard
+    # actors (which receive only the manifest dict) can load their
+    # slice of the deleted set. Absent file == no deletes.
+    dj = os.path.join(index_dir, "deletes.json")
+    if os.path.exists(dj):
+        with open(dj) as f:
+            dmeta = json.load(f)
+        manifest["delete_files"] = [
+            os.path.join(index_dir, p) for p in dmeta.get("files", [])
+        ]
+        manifest["deleted_count"] = int(dmeta.get("count", 0))
+    return manifest
+
+
+def load_deleted(manifest: dict) -> np.ndarray:
+    """Union of all tombstoned doc ids (sorted u64) — empty when the
+    index has no deletes. Tombstone files are small by design (each is
+    one delete call's match set), so the union is driver-loadable."""
+    files = manifest.get("delete_files") or []
+    if not files:
+        return np.zeros(0, dtype=np.uint64)
+    import pyarrow.parquet as _pq
+
+    parts = [
+        _pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy() for f in files
+    ]
+    return np.unique(np.concatenate(parts)).astype(np.uint64)

@@ -264,6 +264,62 @@ class Index:
             )
         return out
 
+    # ---- deletes (Q14) ----------------------------------------------
+
+    def delete(self, query: dsl.Query) -> int:
+        """Tombstone every doc matching ``query`` — the reference's
+        ``remove()`` / deleted-bitmap semantics (Q14,
+        ``removeDeletedAndAddedAfter`` utils.ts:196-220,
+        segment deleted set segment.ts:12-57). Deleted docs stop
+        matching ALL queries (boolean, sorted, BM25, aggregates)
+        immediately; global BM25 statistics (df, N, avgdl) stay frozen
+        until :func:`yaii_ray.build.compact_index` physically purges
+        the postings and recomputes stats — standard segment-index
+        behavior. Returns the number of newly tombstoned docs.
+
+        Durability: one sorted-doc_id Parquet file per call under
+        ``deletes/`` plus an atomically replaced ``deletes.json``
+        manifest — the same atomic-rename commit discipline as segment
+        manifests, so a crash mid-delete leaves the index at the prior
+        delete generation."""
+        import ray
+
+        ids = self.resolve(query)  # actor-masked: excludes prior deletes
+        if ids.size == 0:
+            return 0
+        ddir = os.path.join(self.index_dir, "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        dj = os.path.join(self.index_dir, "deletes.json")
+        cur = {"files": [], "count": 0}
+        if os.path.exists(dj):
+            import json
+
+            with open(dj) as f:
+                cur = json.load(f)
+        rel = os.path.join("deletes", f"del-{len(cur['files']):05d}.parquet")
+        path = os.path.join(self.index_dir, rel)
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.uint64())}), tmp
+        )
+        os.replace(tmp, path)
+        cur["files"].append(rel)
+        cur["count"] = int(cur.get("count", 0)) + int(ids.size)
+        import json
+
+        jt = dj + ".tmp"
+        with open(jt, "w") as f:
+            json.dump(cur, f)
+        os.replace(jt, dj)
+        self.manifest.setdefault("delete_files", []).append(path)
+        self.manifest["deleted_count"] = cur["count"]
+        if self._actors is not None:
+            ray.get([a.add_deletes.remote(path) for a in self._actors])
+        return int(ids.size)
+
+    def deleted_count(self) -> int:
+        return int(self.manifest.get("deleted_count", 0))
+
     # ---- boolean / sorted queries ---------------------------------
 
     def resolve(self, query: dsl.Query) -> np.ndarray:
@@ -386,6 +442,23 @@ class Index:
         if columns is not None:
             cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
         ds = ray.data.read_parquet(files, columns=cols)
+        if doc_ids is None and self.manifest.get("delete_files"):
+            # Q14: the raw scan must not surface tombstoned rows (the
+            # resolve paths already mask shard-side). Broadcast the
+            # tombstone union once; per-batch exclusion is one
+            # vectorized searchsorted.
+            from yaii_ray.build import load_deleted
+
+            dref = ray.put(load_deleted(self.manifest))
+
+            def drop_deleted(batch: pa.Table) -> pa.Table:
+                dele = ray.get(dref)
+                ids = batch["doc_id"].to_numpy()
+                idx = np.searchsorted(dele, ids)
+                idx[idx == dele.size] = 0
+                return batch.filter(pa.array(dele[idx] != ids))
+
+            ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
         if doc_ids is not None:
             if isinstance(doc_ids, list):  # per-shard ObjectRefs
                 refs = doc_ids

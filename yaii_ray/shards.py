@@ -229,6 +229,46 @@ class ShardState(PostingsResolver):
         self._decoded: "OrderedDict[int, tuple]" = OrderedDict()
         self._filter_cache: dict[str, np.ndarray] = {}
         self._doc_ids: np.ndarray | None = None
+        self._deleted: np.ndarray | None = None
+
+    # ---- deleted mask (Q14) -----------------------------------------
+
+    def deleted(self) -> np.ndarray:
+        """This shard's slice of the tombstone set (sorted u64) —
+        lazily loaded from the delete files the manifest lists. The
+        reference masks deleted ids out of every resolved doc set at
+        query time (``removeDeletedAndAddedAfter``, utils.ts:196-220);
+        here the mask is applied once per top-level resolve (actor
+        ``_resolve``) and as a denied-set filter inside WAND."""
+        if self._deleted is None:
+            parts = []
+            for f in self.manifest.get("delete_files", []):
+                arr = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+                mask = (arr >> np.uint64(self.chunk_shift)) % np.uint64(
+                    self.num_shards
+                ) == np.uint64(self.shard_id)
+                parts.append(arr[mask])
+            self._deleted = (
+                np.unique(np.concatenate(parts)).astype(np.uint64)
+                if parts
+                else np.zeros(0, dtype=np.uint64)
+            )
+        return self._deleted
+
+    def add_delete_file(self, path: str) -> int:
+        """Merge one more tombstone file into the live mask (called on
+        open indexes when Index.delete() commits a new file)."""
+        arr = pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy()
+        mask = (arr >> np.uint64(self.chunk_shift)) % np.uint64(
+            self.num_shards
+        ) == np.uint64(self.shard_id)
+        mine = arr[mask].astype(np.uint64)
+        self._deleted = np.unique(np.concatenate([self.deleted(), mine]))
+        return int(mine.size)
+
+    def resolve_live(self, exp: ir.Exp) -> np.ndarray:
+        """resolve() minus tombstoned ids — the Q14 public surface."""
+        return snp_setdiff(self.resolve(exp), self.deleted())
 
     def _payload(self, file_idx: int) -> pa.Table:
         hit = self._payloads.get(file_idx)
@@ -343,6 +383,11 @@ class ShardState(PostingsResolver):
         allowed = self.resolve(filter_exp) if filter_exp is not None else None
         if allowed is not None and allowed.size == 0:
             return np.zeros(0, np.uint64), np.zeros(0, np.float64)
+        # Q14: tombstoned docs never surface, but global stats (df, N,
+        # avgdl) stay frozen until compaction purges the postings —
+        # the usual segment-index semantics (deleted docs stop matching
+        # immediately; scores shift only after merge)
+        denied = self.deleted()
 
         lo_doc = min(int(p[1][0]) for p in postings)
         hi_doc = max(int(p[1][-1]) for p in postings)
@@ -414,6 +459,9 @@ class ShardState(PostingsResolver):
             )
             if allowed is not None and cand_docs.size:
                 mask = snp_member(cand_docs, allowed)
+                cand_docs, cand_scores = cand_docs[mask], cand_scores[mask]
+            if denied.size and cand_docs.size:
+                mask = ~snp_member(cand_docs, denied)
                 cand_docs, cand_scores = cand_docs[mask], cand_scores[mask]
             if cand_docs.size == 0:
                 continue
@@ -504,13 +552,24 @@ def make_shard_actor():
         def _resolve(self, exp: ir.Exp) -> np.ndarray:
             hit = self._resolve_memo.get(exp)
             if hit is None:
-                hit = self.state.resolve(exp)
+                # resolve_live: tombstone mask applied ONCE at the top
+                # of the exp tree (set algebra distributes over the
+                # complement-intersection, so top-level == per-node)
+                hit = self.state.resolve_live(exp)
                 self._resolve_memo[exp] = hit
                 while len(self._resolve_memo) > self._RESOLVE_MEMO_SIZE:
                     self._resolve_memo.popitem(last=False)
             else:
                 self._resolve_memo.move_to_end(exp)
             return hit
+
+        def add_deletes(self, path: str) -> int:
+            """Pick up a tombstone file committed by Index.delete()
+            without an actor restart. Masked-resolve memo entries are
+            stale afterwards, so the memo is dropped."""
+            n = self.state.add_delete_file(path)
+            self._resolve_memo.clear()
+            return n
 
         def resolve(self, exp: ir.Exp) -> np.ndarray:
             return self._resolve(exp)

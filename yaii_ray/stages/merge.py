@@ -58,10 +58,24 @@ def _posting_index_ranges(row_starts: np.ndarray, row_sizes: np.ndarray) -> np.n
 class MergeBucket:
     """Vectorized per-bucket merge + write (see module docstring)."""
 
-    def __init__(self, config_json: dict, postings_dir: str):
+    def __init__(self, config_json: dict, postings_dir: str, deleted_ref=None):
         self.config = IndexConfig.from_json(config_json)
         self.postings_dir = postings_dir
+        # compaction purge (Q14): ObjectRef to the sorted u64 tombstone
+        # union — broadcast ONCE via ray.put by compact_index, fetched
+        # zero-copy per worker, never re-shipped per group
+        self._deleted_ref = deleted_ref
+        self._deleted_cache = None
         self.__name__ = "MergeBucket"  # map_groups wants a function-like name
+
+    def _deleted(self):
+        if self._deleted_ref is None:
+            return None
+        if self._deleted_cache is None:
+            import ray
+
+            self._deleted_cache = ray.get(self._deleted_ref)
+        return self._deleted_cache
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -105,10 +119,30 @@ class MergeBucket:
         tfs = tfs[order]
         dl_full = dl_full[order]
 
+        g_first_row = np.flatnonzero(row_boundary)
         g_sizes = np.bincount(row_gid, weights=df).astype(np.int64)
+        deleted = self._deleted()
+        if deleted is not None and deleted.size:
+            # purge tombstoned postings: one searchsorted membership
+            # mask over the sorted doc array, then per-group sizes
+            # recounted and emptied groups dropped (their terms vanish
+            # from the dictionary and from the df partials below, so
+            # global term stats come out purge-exact automatically)
+            didx = np.searchsorted(deleted, docs)
+            didx[didx == deleted.size] = 0
+            keep = deleted[didx] != docs
+            if not keep.all():
+                pg = posting_gid[order][keep]
+                docs, tfs, dl_full = docs[keep], tfs[keep], dl_full[keep]
+                g_sizes = np.bincount(pg, minlength=ngroups).astype(np.int64)
+                live = g_sizes > 0
+                g_first_row = g_first_row[live]
+                g_sizes = g_sizes[live]
+                ngroups = int(live.sum())
+                if ngroups == 0:
+                    return DF_PARTIAL_SCHEMA.empty_table()
         g_ends = np.cumsum(g_sizes)
         g_starts = g_ends - g_sizes
-        g_first_row = np.flatnonzero(row_boundary)
         g_scored = scored_rows[g_first_row]
 
         doc_payload, doc_nb = codec.vbyte_encode_with_lengths(
@@ -186,7 +220,7 @@ class MergeBucket:
             "bucket": bucket,
             "path": path,
             "rows": int(ngroups),
-            "n_postings": int(total),
+            "n_postings": int(docs.size),
         }
         tmp = path + ".manifest.json.tmp"
         with open(tmp, "w") as f:
