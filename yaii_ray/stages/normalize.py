@@ -28,6 +28,7 @@ indexing is documented out of scope (SURVEY §8, mixed-type note).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -124,7 +125,7 @@ def cast_column(arr: pa.Array, target: pa.DataType) -> pa.Array:
         return arr
     if _is_list(target) and not _is_list(arr.type):
         inner = cast_column(arr, target.value_type)
-        offsets = pa.array(range(len(arr) + 1), type=pa.int64())
+        offsets = pa.array(np.arange(len(arr) + 1, dtype=np.int64))
         wrapped = pa.LargeListArray.from_arrays(offsets, inner)
         if arr.null_count:
             wrapped = pa.compute.if_else(
