@@ -50,6 +50,21 @@ def test_cast_column_scalar_to_list_wraps():
     assert out.to_pylist() == [[1.0], None, [3.0]]
 
 
+def test_cast_column_list_with_spanning_null_ranges():
+    """A null list slot whose offset range is NON-empty (legal Arrow,
+    produced by other writers and by slicing) must survive the
+    list->list cast; flatten() would compact it and misalign."""
+    values = pa.array([1, 2, 3, 4, 5], pa.int32())
+    offsets = pa.array([0, 2, 4, 5], pa.int32())
+    mask = pa.array([False, True, False])
+    arr = pa.ListArray.from_arrays(offsets, values, mask=mask)
+    out = cast_column(arr, pa.large_list(pa.float64()))
+    assert out.to_pylist() == [[1.0, 2.0], None, [5.0]]
+    # sliced view keeps alignment too
+    out2 = cast_column(arr.slice(1, 2), pa.large_list(pa.int64()))
+    assert out2.to_pylist() == [None, [5]]
+
+
 def test_normalize_batch_missing_and_mixed():
     t = pa.table({"a": pa.array([1, 2]), "b": pa.array(["x", "y"])})
     schema = pa.schema(

@@ -133,14 +133,14 @@ def cast_column(arr: pa.Array, target: pa.DataType) -> pa.Array:
             )
         return wrapped
     if _is_list(target) and _is_list(arr.type):
-        inner = cast_column(arr.flatten(), target.value_type)
+        # Use the aligned raw pair .values/.offsets — flatten() compacts
+        # away the backing ranges of null slots, so it misaligns with
+        # .offsets whenever a null slot spans values (legal in Parquet
+        # written by other engines, and after slicing).
+        inner = cast_column(arr.values, target.value_type)
         offs = arr.offsets.cast(pa.int64())
-        out = pa.LargeListArray.from_arrays(offs, inner)
-        if arr.null_count:
-            out = pa.compute.if_else(
-                pa.compute.is_null(arr), pa.nulls(len(arr), type=target), out
-            )
-        return out
+        mask = pa.compute.is_null(arr) if arr.null_count else None
+        return pa.LargeListArray.from_arrays(offs, inner, mask=mask)
     if pa.types.is_struct(target):
         vals = arr if pa.types.is_struct(arr.type) else None
         if vals is None:
