@@ -1440,6 +1440,34 @@ def test_quantize_embeddings_batch():
         assert max(abs(c) for c in q) == 127  # max component hits full range
 
 
+def test_quantize_embeddings_alignment_under_nulls_and_slices():
+    """ops/ann.py _flat_values: a null slot with a spanning backing
+    range (or a sliced view, or a null fixed_size_list row) must not
+    shift later vectors' values — flatten() would (kernel-only)."""
+    # variable list: middle slot null but spanning two backing values
+    values = pa.array([1.0, 2.0, 9.0, 9.0, 4.0, 8.0], pa.float32())
+    offsets = pa.array([0, 2, 4, 6], pa.int32())
+    mask = pa.array([False, True, False])
+    arr = pa.ListArray.from_arrays(offsets, values, mask=mask)
+    t = pa.table({"vec_id": pa.array(range(3), pa.int64()), "embedding": arr})
+    out = ann.quantize_embeddings_batch(t)
+    # row 2 = [4, 8]: scale 8/127, codes floor(x/s + .5)
+    s2 = out["q_scale"][2].as_py()
+    assert s2 == 8.0 / 127.0
+    assert out["q_embedding"][2].as_py() == [64, 127]
+    assert out["q_scale"][0].as_py() == 2.0 / 127.0
+
+    # sliced fixed_size_list with a null row in front
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array([0.0, 0.0, 3.0, 6.0, 5.0, 10.0], pa.float32()), 2
+    )
+    sl = fsl.slice(1, 2)  # [[3,6],[5,10]]
+    t2 = pa.table({"vec_id": pa.array(range(2), pa.int64()), "embedding": sl})
+    out2 = ann.quantize_embeddings_batch(t2)
+    assert out2["q_scale"].to_pylist() == [6.0 / 127.0, 10.0 / 127.0]
+    assert out2["q_embedding"][1].as_py() == [64, 127]
+
+
 def test_brute_topk_quantized_close_to_exact(emb_ds):
     """ops/ann.py: int8-served top-k — cosines within quantization
     noise of the exact scores, and the planted near-identical vectors

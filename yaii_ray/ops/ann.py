@@ -51,6 +51,20 @@ def _list_lens(arr: pa.Array) -> np.ndarray:
     return np.diff(offsets - offsets[0])
 
 
+def _flat_values(arr: pa.Array) -> np.ndarray:
+    """Flat value buffer ALIGNED with ``_list_lens`` — slices .values
+    by the raw offsets instead of flatten(), which compacts away null
+    slots' backing ranges and would silently shift every later vector
+    (same hazard as stages/normalize.py list casts / termize.py:154)."""
+    if pa.types.is_fixed_size_list(arr.type):
+        k = arr.type.list_size
+        vals = arr.values.slice(arr.offset * k, len(arr) * k)
+        return vals.to_numpy(zero_copy_only=False)
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.slice(off[0], off[-1] - off[0])
+    return vals.to_numpy(zero_copy_only=False)
+
+
 def quantize_embeddings_batch(
     batch: pa.Table,
     col: str = "embedding",
@@ -69,7 +83,7 @@ def quantize_embeddings_batch(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     lens = _list_lens(arr)
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    flat = _flat_values(arr).astype(np.float64)
     starts = np.r_[0, np.cumsum(lens)][:-1]
     mx = np.zeros(len(lens), dtype=np.float64)
     nz = lens > 0
@@ -151,7 +165,7 @@ def brute_topk_quantized(
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         lens = _list_lens(arr)
-        codes = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = _flat_values(arr).astype(np.float64)
         scale = qb["q_scale"].to_numpy(zero_copy_only=False)
         recon = codes * np.repeat(scale, lens)
         rlist = pa.ListArray.from_arrays(
